@@ -1,0 +1,83 @@
+"""Render configuration.
+
+Replaces the reference's mutable-global config surface (`REF/gui.cpp:7-26`:
+`g_apertureSize`, `g_light_Power`, `g_diffuse_max_depth`, `g_isOptimize`,
+resolution argv, keyboard-driven view switching) with a single frozen
+dataclass that is hashable, so it can be a static argument under `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static (compile-time) render parameters.
+
+    Defaults mirror the reference's operating point:
+      - aperture (normalized foveal radius) 0.07    (REF/gui.cpp:13)
+      - Weier falloff p_min = 0.05                  (REF/cuda/samplingStep.cu:150)
+      - diffuse GI depth 1                          (REF/gui.cpp:21)
+      - reflect/refract max depth, phong_exp 88, IOR 1.4
+                                                    (REF/PathTracer.cpp:724-757)
+    """
+
+    width: int = 1024
+    height: int = 1024
+
+    # --- foveation ---
+    aperture: float = 0.07          # normalized foveal radius r0
+    p_min: float = 0.05             # peripheral floor of the Weier falloff
+    sampling_mode: str = "masked"   # "masked" | "weier" | "logpolar" | "full"
+    saliency_block: int = 4         # 4x4 block granularity (samplingStep.cu:186)
+    extra_sample_rate: int = 8      # sparse periphery floor 1/8^2 (shared_helper_funcs.h:282)
+
+    # --- path tracing ---
+    diffuse_max_depth: int = 1      # GI bounces
+    max_depth: int = 4              # reflect/refract bounce cap (wavefront iterations)
+    importance_cutoff: float = 0.01
+    scene_epsilon: float = 1e-3
+    samples_per_pixel: int = 1
+    envmap_scale: float = 2.0       # envmap_miss multiplies by 2.0 (gradientbg.cu:66)
+
+    # --- ray budget (static compaction size as a fraction of W*H) ---
+    ray_budget_frac: float = 0.35
+
+    # --- temporal ---
+    temporal: bool = True
+    cache_epsilon: float = 1e-3     # depth-cache validation epsilon
+
+    # --- reconstruction ---
+    reconstruction: str = "pullpush"  # "jfa" | "sibson" | "pullpush" | "atrous" | "none"
+    atrous_iterations: int = 1
+    atrous_c_phi: float = 1.0
+    atrous_n_phi: float = 0.5
+    atrous_p_phi: float = 0.5
+    sibson_max_radius: int = 16     # static bound on the Sibson disc gather
+
+    # --- backend selection ---
+    use_pallas: bool = True         # Pallas kernels on TPU; pure-XLA fallback otherwise
+    intersect_backend: str = "auto" # "auto" | "brute" | "bvh"
+
+    # --- tone mapping ---
+    exposure_bias: float = 2.0
+    tonemap: str = "uncharted2"
+
+    @property
+    def resolution(self) -> Tuple[int, int]:
+        return (self.height, self.width)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height
+
+    @property
+    def ray_budget(self) -> int:
+        """Static number of compacted shading rays, padded to a multiple of 1024."""
+        n = int(self.n_pixels * self.ray_budget_frac)
+        return max(1024, (n + 1023) // 1024 * 1024)
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,109 @@
+"""Differentiable camera.
+
+TPU-native counterpart of `REF/Camera.{h,cpp}`: perspective projection
+(`getPMat` Camera.cpp:153-181), lookAt (:73-83), world/screen transforms
+(:204-213), and previous-frame state for temporal reprojection
+(`setPrevState` :234-241, `getPrevMVP` :248).
+
+The camera is a JAX pytree, so camera pose is a first-class differentiable
+parameter (gradients flow through ray generation and reprojection).
+Matrices are built functionally each frame — there is no mutable MVP cache.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from fovtrace.core import mathx
+
+
+@struct.dataclass
+class Camera:
+    eye: jnp.ndarray        # [3]
+    target: jnp.ndarray     # [3]
+    up: jnp.ndarray         # [3]
+    fov_y: jnp.ndarray      # scalar, degrees
+    near: jnp.ndarray       # scalar
+    far: jnp.ndarray        # scalar
+
+    @classmethod
+    def create(cls, eye, target, up=(0.0, 1.0, 0.0), fov_y=45.0, near=0.1, far=1000.0):
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
+        return cls(eye=f32(eye), target=f32(target), up=f32(up),
+                   fov_y=f32(fov_y), near=f32(near), far=f32(far))
+
+    # --- matrices -------------------------------------------------------
+    def view_matrix(self) -> jnp.ndarray:
+        """Right-handed lookAt (Camera.cpp:73-83 / glm::lookAt)."""
+        f = mathx.normalize(self.target - self.eye)
+        s = mathx.normalize(jnp.cross(f, mathx.normalize(self.up)))
+        u = jnp.cross(s, f)
+        rot = jnp.stack([s, u, -f], axis=0)           # [3,3]
+        trans = -rot @ self.eye
+        m = jnp.eye(4, dtype=jnp.float32)
+        m = m.at[:3, :3].set(rot).at[:3, 3].set(trans)
+        return m
+
+    def proj_matrix(self, aspect) -> jnp.ndarray:
+        """Perspective projection (Camera.cpp:153-161 / glm::perspective)."""
+        fov_rad = self.fov_y * (jnp.pi / 180.0)
+        f = 1.0 / jnp.tan(fov_rad / 2.0)
+        n, fr = self.near, self.far
+        m = jnp.zeros((4, 4), dtype=jnp.float32)
+        m = m.at[0, 0].set(f / aspect)
+        m = m.at[1, 1].set(f)
+        m = m.at[2, 2].set((fr + n) / (n - fr))
+        m = m.at[2, 3].set(2.0 * fr * n / (n - fr))
+        m = m.at[3, 2].set(-1.0)
+        return m
+
+    def mvp(self, aspect) -> jnp.ndarray:
+        return self.proj_matrix(aspect) @ self.view_matrix()
+
+    def inv_mvp(self, aspect) -> jnp.ndarray:
+        return jnp.linalg.inv(self.mvp(aspect))
+
+    # --- ray generation -------------------------------------------------
+    def primary_rays(self, width: int, height: int, jitter=None, aspect=None):
+        """Full-resolution primary rays via inverse-MVP unprojection.
+
+        Matches `g_buffer_trace` (g_buffer_trace_camera.cu:95-100): pixel ->
+        NDC in [-1,1], unproject (d, -1) to a near-plane point, ray from eye
+        through it. `jitter` is an optional [H,W,2] sub-pixel offset in
+        pixel units (fov_path_trace_camera.cu:129-133).
+
+        Returns (origins [H,W,3], directions [H,W,3]).
+        """
+        if aspect is None:
+            aspect = float(width) / float(height)
+        xs = (jnp.arange(width, dtype=jnp.float32) + 0.0)
+        ys = (jnp.arange(height, dtype=jnp.float32) + 0.0)
+        px, py = jnp.meshgrid(xs, ys, indexing="xy")    # [H,W]
+        if jitter is not None:
+            px = px + jitter[..., 0]
+            py = py + jitter[..., 1]
+        ndc_x = px / width * 2.0 - 1.0
+        ndc_y = py / height * 2.0 - 1.0
+        d = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, -1.0),
+                       jnp.ones_like(ndc_x)], axis=-1)  # [H,W,4]
+        inv = self.inv_mvp(aspect)
+        world = jnp.einsum("ij,hwj->hwi", inv, d)
+        near_pos = world[..., :3] / world[..., 3:4]
+        dirs = mathx.normalize(near_pos - self.eye)
+        origins = jnp.broadcast_to(self.eye, dirs.shape)
+        return origins, dirs
+
+    # --- reprojection helpers ------------------------------------------
+    def world_to_screen(self, p, width: int, height: int, aspect=None):
+        """World position -> pixel uv, matching `compute_reprojection`
+        (shared_helper_funcs.h:179-188): q_uv = (ndc*screen + screen)/2."""
+        if aspect is None:
+            aspect = float(width) / float(height)
+        mvp = self.mvp(aspect)
+        ph = jnp.concatenate([p, jnp.ones_like(p[..., :1])], axis=-1)
+        cs = jnp.einsum("ij,...j->...i", mvp, ph)
+        d = cs[..., :2] / jnp.where(jnp.abs(cs[..., 3:4]) < 1e-20, 1e-20, cs[..., 3:4])
+        screen = jnp.asarray([width, height], dtype=jnp.float32)
+        return (d * screen + screen) * 0.5

@@ -1,0 +1,135 @@
+"""Per-pixel saliency field.
+
+Counterpart of the saliency stage of `samplingStep.cu:186-219` and its
+device helpers (`shared_helper_funcs.h`): RGBY color opponency (:66-76),
+Sobel gradients/orientation (:105-161), depth-of-field Gaussian around the
+gaze focal depth (:93-103), velocity sensitivity curve (:206-212), and the
+combination rule:
+
+  saliency = ((R-G + B-Y)/2 + L + orientation) / 3
+  saliency = max(saliency, normal_gradient)
+  saliency *= depth_saliency
+  saliency = max(saliency, velocity) * shadow_term
+
+Computed at 4x4 block granularity like the reference (each pixel samples
+the saliency inputs at its block's corner pixel). Implemented with shifts
+and gathers — pure XLA, fuses into a single elementwise pipeline.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+_SOBEL_GX = jnp.asarray(
+    [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32
+)
+_SOBEL_GY = jnp.asarray(
+    [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], jnp.float32
+)
+
+
+def _shift2d(img, dy, dx):
+    """Shift with zero padding (out-of-bounds taps contribute 0, matching
+    the reference's bounds `continue`)."""
+    out = jnp.roll(img, shift=(dy, dx), axis=(0, 1))
+    h, w = img.shape[0], img.shape[1]
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+    valid = (ys - dy >= 0) & (ys - dy < h) & (xs - dx >= 0) & (xs - dx < w)
+    if img.ndim == 3:
+        valid = valid[..., None]
+    return jnp.where(valid, out, 0.0)
+
+
+def sobel(gray, scale: int = 1):
+    """Sobel gx, gy with taps at `offset * scale`
+    (shared_helper_funcs.h:130-161)."""
+    gx = jnp.zeros_like(gray)
+    gy = jnp.zeros_like(gray)
+    for j in range(3):
+        for i in range(3):
+            dy = (j - 1) * scale
+            dx = (i - 1) * scale
+            tap = _shift2d(gray, -dy, -dx)
+            gx = gx + tap * _SOBEL_GX[j, i]
+            gy = gy + tap * _SOBEL_GY[j, i]
+    return gx, gy
+
+
+def rgby_opponency(rgb):
+    """RGBY color opponency (shared_helper_funcs.h:66-76) ->
+    (R-G, B-Y, L) channels."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    R = r - (g + b) / 2.0
+    G = g - (r + b) / 2.0
+    B = b - (r + g) / 2.0
+    Y = (r + g) / 2.0 - jnp.abs(r - g) / 2.0 - b
+    L = (r + g + b) / 3.0
+    return R - G, B - Y, L
+
+
+def depth_saliency(depth, gaze_px, theta):
+    """DOF Gaussian around the gaze focal depth
+    (shared_helper_funcs.h:93-103). theta scales with scene bbox size
+    (samplingStep.cu:197: |bbox| * 0.005)."""
+    gy, gx = gaze_px
+    focal = depth[gy, gx]
+    dd = depth - focal
+    d = 0.4 * theta
+    ad = 1.0 * theta
+    return (
+        1.0 / (d * jnp.sqrt(2.0 * jnp.pi)) * jnp.exp(-(dd * dd) / (d * d)) * ad
+    )
+
+
+def velocity_map(velocity):
+    """Motion-sensitivity curve (shared_helper_funcs.h:206-212)."""
+    m = -0.4
+    am = 20.0
+    v = (velocity / am) ** 2
+    return 1.0 / (m * jnp.sqrt(2.0 * jnp.pi)) * jnp.exp(-v / (m * m)) + 1.0
+
+
+def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4):
+    """Full saliency field [H,W] from G-buffers (samplingStep.cu:186-219).
+
+    gbuf: dict from trace_gbuffer (albedo, depth, normal, shadow,
+    reproject_uv). gaze_px: (gy, gx) int32. bbox_diag: scene bbox diagonal
+    length (for the DOF theta).
+    """
+    h, w = gbuf["depth"].shape
+    # block-corner sampling coordinates (4*(x/4))
+    ys = (jnp.arange(h) // block) * block
+    xs = (jnp.arange(w) // block) * block
+    gather = lambda img: img[ys[:, None], xs[None, :]]
+
+    albedo = gbuf["albedo"]
+    rg, by, lum = rgby_opponency(albedo)
+    rg_b, by_b, lum_b = gather(rg), gather(by), gather(lum)
+
+    gray = jnp.mean(albedo, axis=-1)
+    gx, gy = sobel(gray, scale=block)
+    orient = jnp.arctan(gather(gy) / jnp.where(jnp.abs(gather(gx)) < 1e-12,
+                                               1e-12, gather(gx)))
+
+    theta = bbox_diag * 0.005
+    s_depth = gather(depth_saliency(gbuf["depth"], gaze_px, theta))
+    s_shadow = gather(gbuf["shadow"])
+
+    ngray = jnp.mean(gbuf["normal"] * 0.5 + 0.5, axis=-1)
+    ngx, ngy = sobel(ngray, scale=block)
+    s_normal_grad = jnp.sqrt(gather(ngx) ** 2 + gather(ngy) ** 2)
+
+    # velocity from the reprojection offset (samplingStep.cu:201-205)
+    px = jnp.arange(w, dtype=jnp.float32)[None, :]
+    py = jnp.arange(h, dtype=jnp.float32)[:, None]
+    quv = gbuf["reproject_uv"]
+    vel = 0.5 * jnp.sqrt((px - quv[..., 0]) ** 2 + (py - quv[..., 1]) ** 2)
+    vel = jnp.where((quv[..., 0] < 0.0) & (quv[..., 1] < 0.0), 0.0, vel)
+    s_velocity = velocity_map(vel)
+
+    saliency = ((rg_b + by_b) / 2.0 + lum_b + orient) / 3.0
+    saliency = jnp.maximum(saliency, s_normal_grad)
+    saliency = saliency * s_depth
+    saliency = jnp.maximum(saliency, s_velocity) * s_shadow
+    return saliency

@@ -1,0 +1,146 @@
+"""Foveated sample-mask generation + TPU-friendly ray compaction.
+
+Counterpart of `samplingStep.cu:143-236` (gaze falloff models + dither
+`masked_sampling`, shared_helper_funcs.h:237-300) and of the entire
+`warpSort.cu` compaction pass (:67-222). The reference compacts the mask
+with serial per-row/per-column loops for warp coherence — that concept
+doesn't exist on TPU. Instead we compact with a single `argsort` over the
+mask (descending), yielding a static-size ray list (`ray_budget`) that
+keeps shapes jit-stable; or callers can use the mask densely.
+
+The reference's quirk: the Weier falloff radii read `g_apectureSize`
+(a typo'd, never-set variable — effectively 0), while `masked_sampling`
+uses its own hard-coded r0=0.07. We implement the *intended* behavior:
+all radii derive from config.aperture (SURVEY.md §7 hard part #7).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# 4x4 dither masks (shared_helper_funcs.h:242-263). 1 = sample.
+MASK_25 = jnp.asarray(
+    [[1, 1, 0, 0], [1, 1, 0, 0], [1, 1, 1, 1], [1, 1, 1, 1]], bool
+)
+MASK_50 = jnp.asarray(
+    [[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 1, 1], [0, 0, 1, 1]], bool
+)
+MASK_75 = jnp.asarray(
+    [[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]], bool
+)
+
+
+def gaze_distance(height: int, width: int, gaze_px) -> jnp.ndarray:
+    """Normalized distance-to-gaze field: |px - gaze| / |screen|
+    (samplingStep.cu:145)."""
+    gy, gx = gaze_px
+    py = jnp.arange(height, dtype=jnp.float32)[:, None]
+    px = jnp.arange(width, dtype=jnp.float32)[None, :]
+    d = jnp.sqrt((px - gx) ** 2 + (py - gy) ** 2)
+    return d / jnp.sqrt(float(width) ** 2 + float(height) ** 2)
+
+
+def weier_sample_rate(gaze_dist, aperture: float, p_min: float = 0.05):
+    """Weier et al. linear falloff (samplingStep.cu:150-156):
+    1 inside r0, p_min beyond r1=2*r0, linear ramp between."""
+    r0 = aperture
+    r1 = aperture * 2.0
+    ramp = 1.0 - (1.0 - p_min) * ((gaze_dist - r0) / (r1 - r0))
+    return jnp.where(gaze_dist < r0, 1.0, jnp.where(gaze_dist > r1, p_min, ramp))
+
+
+def author_sample_rate(gaze_dist, aperture: float):
+    """The author's rational falloff (samplingStep.cu:145-147)."""
+    alpha = ((1.0 / 0.8) - 1.0) / (aperture**2)
+    return jnp.clip(1.0 / (alpha * (2.0 * gaze_dist) ** 2 + 1.0), 0.0, 1.0)
+
+
+def masked_sampling(height: int, width: int, gaze_dist, saliency,
+                    aperture: float = 0.07, extra_sample_rate: int = 8):
+    """Binary dither-mask decision (shared_helper_funcs.h:265-300).
+
+    Distance bands: full inside r0; 25-mask to 1.5*r0; 50-mask to 2*r0.
+    Saliency bands OR in extra samples; a sparse 1/extra^2 grid floors the
+    periphery where saliency <= g0. Returns bool [H,W].
+
+    NOTE (parity): the mask tables index [x % 4][y % 4] in the reference
+    (column-major); we follow that exact convention.
+    """
+    r0 = aperture
+    r1 = r0 * 1.5
+    r2 = r0 * 2.0
+
+    ys = jnp.arange(height)[:, None] % 4
+    xs = jnp.arange(width)[None, :] % 4
+    m25 = MASK_25[xs, ys]
+    m50 = MASK_50[xs, ys]
+    m75 = MASK_75[xs, ys]
+
+    sample = jnp.where(
+        gaze_dist < r0,
+        True,
+        jnp.where(
+            gaze_dist <= r1, m25, jnp.where(gaze_dist <= r2, m50, False)
+        ),
+    )
+
+    g0, g1, g2 = 0.01, 0.4, 0.6
+    s = saliency
+    sal_extra = jnp.where(
+        (s > g0) & (s < g1),
+        m75,
+        jnp.where((s >= g1) & (s < g2), m50, jnp.where(s >= g2, m25, False)),
+    )
+    sparse_floor = (
+        (jnp.arange(height)[:, None] % extra_sample_rate == 0)
+        & (jnp.arange(width)[None, :] % extra_sample_rate == 0)
+    )
+    sal_extra = jnp.where(s <= g0, sparse_floor, sal_extra)
+    return sample | sal_extra
+
+
+def logpolar_sampling(height: int, width: int, gaze_px, kernel_scale: float = 0.25):
+    """Log-polar sampling pattern (samplingStep.cu:179-182, commented
+    alternative): a pixel is sampled iff it round-trips through the
+    quarter-res log-polar buffer to within ~1.1px."""
+    from fovtrace.kernels import logpolar
+
+    gy, gx = gaze_px
+    kh = int(height * kernel_scale)
+    kw = int(width * kernel_scale)
+    py = jnp.arange(height, dtype=jnp.float32)[:, None] * jnp.ones((1, width))
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] * jnp.ones((height, 1))
+    u, v = logpolar.forward_coords(px, py, gx, gy, kw, kh)
+    x2, y2 = logpolar.inverse_coords(u, v, gx, gy, kw, kh)
+    d = jnp.sqrt((px - x2) ** 2 + (py - y2) ** 2)
+    return d < jnp.sqrt(jnp.sqrt(2.0) * 1.5)
+
+
+def compact_rays(mask: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Static-size stream compaction of a [H,W] bool mask.
+
+    Replaces warpSort.cu's serial row/column compaction with one
+    descending argsort over the flat mask (stable, so compacted rays stay
+    in scanline order -> memory-coherent gathers, the TPU analog of warp
+    coherence). Returns (indices [budget] int32 into the flat pixel
+    array, active [budget] bool). If the mask has more than `budget` set
+    pixels the excess is dropped (callers choose budget >= expected max).
+    """
+    flat = mask.reshape(-1)
+    order = jnp.argsort(~flat, stable=True)  # True (0) first
+    idx = order[:budget].astype(jnp.int32)
+    active = flat[idx]
+    return idx, active
+
+
+def scatter_rays(values: jnp.ndarray, idx: jnp.ndarray, active: jnp.ndarray,
+                 n_pixels: int) -> jnp.ndarray:
+    """Scatter compacted per-ray values back to the flat pixel grid."""
+    out = jnp.zeros((n_pixels,) + values.shape[1:], values.dtype)
+    safe_idx = jnp.where(active, idx, n_pixels)  # OOB drops
+    return out.at[safe_idx].set(jnp.where(
+        active.reshape((-1,) + (1,) * (values.ndim - 1)), values, 0.0
+    ), mode="drop")

@@ -1,0 +1,76 @@
+"""Full-resolution primary-ray G-buffer pass.
+
+TPU-native counterpart of OptiX entry point 0
+(`g_buffer_trace_camera.cu:84-151` raygen + `g_diffuse.cu:67-144`
+closest-hit): one primary ray per pixel, writing
+
+  position [H,W,3]  world hit point (prd.origin)
+  normal   [H,W,3]  geometric normal (unpacked; the reference stores
+                    n*0.5+0.5 for display — we keep raw [-1,1])
+  shadow   [H,W]    binary light visibility (normal_buffer.w = prd.radiance.x)
+  depth    [H,W]    view distance ||hit - eye|| (depth_buffer.x)
+  albedo   [H,W,3]  Kd-modulated result (diffuse_buffer)
+  reproject_uv [H,W,2]  prev-frame pixel uv via prev camera MVP
+                    (g_diffuse.cu:95 compute_reprojection), -1 on miss
+
+All buffers come from ONE intersection pass — the reference re-traces;
+we reuse the hit record for every channel.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from fovtrace.core import mathx
+from fovtrace.kernels import intersect as isect
+
+
+def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
+    """Returns dict of G-buffers, plus the flat hit record for reuse."""
+    ro, rd = camera.primary_rays(width, height)
+    ro_f = ro.reshape(-1, 3)
+    rd_f = rd.reshape(-1, 3)
+
+    hit = isect.intersect_brute(scene, ro_f, rd_f, config.scene_epsilon,
+                                isect.BIG_T)
+    surf = isect.hit_surface(scene, ro_f, rd_f, hit)
+    valid = hit.valid
+
+    point = jnp.where(valid[:, None], surf["point"], 0.0)
+    gnormal = jnp.where(valid[:, None], surf["gnormal"], 0.0)
+    depth = jnp.where(valid, mathx.length(point - camera.eye), 0.0)
+
+    # one-sample binary shadow term toward the light's far corner
+    # (g_diffuse.cu:110-137: light_pos = corner + v1 + v2, inShadow flag)
+    light = scene.light
+    light_pos = light.corner + light.v1 + light.v2
+    to_l = light_pos - point
+    ldist = mathx.length(to_l)
+    l = to_l / jnp.maximum(ldist[:, None], 1e-20)
+    n_ff = mathx.faceforward(surf["normal"], -rd_f, surf["gnormal"])
+    ndl = jnp.sum(n_ff * l, axis=-1)
+    lndl = jnp.sum(light.normal * l, axis=-1)
+    atten = isect.occlusion_brute(
+        scene, point + n_ff * config.scene_epsilon, l,
+        config.scene_epsilon, ldist - config.scene_epsilon,
+    )
+    lit = jnp.max(atten, axis=-1) > 0.0
+    shadow_term = jnp.where(valid & (ndl > 0.0) & (lndl > 0.0), lit.astype(jnp.float32),
+                            jnp.where(valid, 0.0, 0.0))
+
+    albedo = jnp.where(valid[:, None], surf["kd"], 0.0)
+
+    # reverse reprojection into the previous frame's screen
+    reproject = prev_camera.world_to_screen(point, width, height)
+    reproject = jnp.where(valid[:, None], reproject, -1.0)
+
+    shp = (height, width)
+    return {
+        "position": point.reshape(shp + (3,)),
+        "normal": gnormal.reshape(shp + (3,)),
+        "shadow": shadow_term.reshape(shp),
+        "depth": depth.reshape(shp),
+        "albedo": albedo.reshape(shp + (3,)),
+        "reproject_uv": reproject.reshape(shp + (2,)),
+        "hit_valid": valid.reshape(shp),
+    }
