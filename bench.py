@@ -1,0 +1,111 @@
+"""Headline benchmark: Mrays/s/chip fwd+bwd at 1080p foveated.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 80 (the BASELINE.json north-star target of
+80 Mrays/s/chip fwd+bwd at 1080p foveated).
+
+Ray accounting (honest device work, mirroring the reference's ray_count
+metric main.cpp:288-299 but including every traced ray):
+  - G-buffer: 1 primary + 1 shadow ray per pixel (full res)
+  - shading: per wavefront bounce, 1 closest-hit + 1 NEE shadow ray per
+    compacted ray (the ray budget)
+
+Extra diagnostics go to stderr only.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1920)
+    p.add_argument("--height", type=int, default=1088)
+    p.add_argument("--scene", default="earth")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--forward-only", action="store_true")
+    args = p.parse_args()
+
+    from fovtrace import Camera, RenderConfig
+    from fovtrace.render import pipeline
+    from fovtrace.scene import procedural
+
+    config = RenderConfig(
+        width=args.width, height=args.height, reconstruction="atrous",
+        max_depth=4, diffuse_max_depth=1, ray_budget_frac=0.30,
+    )
+    scene = procedural.SCENES[args.scene]()
+    cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
+    state = pipeline.FrameState.initial(cam, config)
+    gaze = (jnp.asarray(args.height // 2), jnp.asarray(args.width // 2))
+
+    print(f"[bench] scene={args.scene} tris={scene.num_triangles} "
+          f"{args.width}x{args.height} budget={config.ray_budget} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+    n_pix = config.n_pixels
+    rays_per_frame = 2 * n_pix + 2 * config.ray_budget * config.max_depth
+
+    fwd = jax.jit(lambda s, c, g, st: pipeline.render_frame(s, c, g, st, config))
+
+    def loss_fn(emission, kd, st):
+        s2 = scene.replace(
+            light=scene.light.replace(emission=emission),
+            materials=scene.materials.replace(kd=kd),
+        )
+        out, _ = pipeline.render_frame(s2, cam, gaze, st, config)
+        return jnp.mean(out["image"])
+
+    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+
+    t0 = time.time()
+    out, state = fwd(scene, cam, gaze, state)
+    jax.block_until_ready(out["image"])
+    print(f"[bench] fwd compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+    if args.forward_only:
+        step = lambda st: fwd(scene, cam, gaze, st)[1]
+        label = "fwd"
+    else:
+        t0 = time.time()
+        g = fwdbwd(scene.light.emission, scene.materials.kd, state)
+        jax.block_until_ready(g)
+        print(f"[bench] fwd+bwd compile {time.time()-t0:.1f}s", file=sys.stderr)
+
+        def step(st):
+            g = fwdbwd(scene.light.emission, scene.materials.kd, st)
+            return st, g
+
+        label = "fwd+bwd"
+
+    for _ in range(args.warmup):
+        r = step(state)
+        jax.block_until_ready(r)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        r = step(state)
+    jax.block_until_ready(r)
+    dt = (time.time() - t0) / args.iters
+
+    mrays = rays_per_frame / dt / 1e6
+    print(f"[bench] {label}: {dt*1e3:.1f} ms/frame, "
+          f"{rays_per_frame/1e6:.2f} Mrays/frame -> {mrays:.2f} Mrays/s",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "Mrays/s/chip fwd+bwd at 1080p foveated",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 80.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -95,6 +95,28 @@ class Camera:
         origins = jnp.broadcast_to(self.eye, dirs.shape)
         return origins, dirs
 
+    def primary_rays_block(self, width: int, height: int, y0, block_h: int,
+                           aspect=None):
+        """Primary rays for a horizontal row block [y0, y0+block_h) of the
+        full W x H grid — the unit of screen-tile sharding (each device in
+        the mesh traces its own block). y0 may be a traced value
+        (jax.lax.axis_index * block_h under shard_map)."""
+        if aspect is None:
+            aspect = float(width) / float(height)
+        xs = jnp.arange(width, dtype=jnp.float32)
+        ys = jnp.arange(block_h, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32)
+        px, py = jnp.meshgrid(xs, ys, indexing="xy")
+        ndc_x = px / width * 2.0 - 1.0
+        ndc_y = py / height * 2.0 - 1.0
+        d = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, -1.0),
+                       jnp.ones_like(ndc_x)], axis=-1)
+        inv = self.inv_mvp(aspect)
+        world = jnp.einsum("ij,hwj->hwi", inv, d)
+        near_pos = world[..., :3] / world[..., 3:4]
+        dirs = mathx.normalize(near_pos - self.eye)
+        origins = jnp.broadcast_to(self.eye, dirs.shape)
+        return origins, dirs
+
     # --- reprojection helpers ------------------------------------------
     def world_to_screen(self, p, width: int, height: int, aspect=None):
         """World position -> pixel uv, matching `compute_reprojection`

@@ -128,31 +128,20 @@ def intersect_brute(
     def per_chunk(args):
         co, cd, ctmin, ctmax = args
 
-        def body(carry, blk):
-            bt, btri, bu, bv = carry
+        # map over triangle blocks -> stacked per-block best hits, then one
+        # argmin reduce. No scan carries: carry-free form stays valid under
+        # shard_map autodiff (scan carries must keep a stable
+        # varying-manual-axes type, which grad-of-shard_map breaks).
+        def body(blk):
             bv0, be1, be2, base = blk
             t, u, v, hit = _mt_block(co, cd, bv0, be1, be2, ctmin, ctmax)
-            nt, ntri, nu, nv = _reduce_closest(t, u, v, hit, base)
-            better = nt < bt
-            carry = (
-                jnp.where(better, nt, bt),
-                jnp.where(better, ntri, btri),
-                jnp.where(better, nu, bu),
-                jnp.where(better, nv, bv),
-            )
-            return carry, None
+            return _reduce_closest(t, u, v, hit, base)
 
-        init = (
-            jnp.full((rc,), BIG_T, jnp.float32),
-            jnp.full((rc,), -1, jnp.int32),
-            jnp.zeros((rc,), jnp.float32),
-            jnp.zeros((rc,), jnp.float32),
-        )
         bases = jnp.arange(nblk, dtype=jnp.int32) * tb
-        (bt, btri, bu, bv), _ = jax.lax.scan(
-            body, init, (v0b, e1b, e2b, bases)
-        )
-        return bt, btri, bu, bv
+        ts, tris, us, vs = jax.lax.map(body, (v0b, e1b, e2b, bases))
+        k = jnp.argmin(ts, axis=0)
+        c = jnp.arange(ts.shape[1])
+        return ts[k, c], tris[k, c], us[k, c], vs[k, c]
 
     chunks = (
         ro_p.reshape(nchunk, rc, 3),
@@ -228,7 +217,8 @@ def occlusion_brute(
     def per_chunk(args):
         co, cd, ctmin, ctmax = args
 
-        def body(atten, blk):
+        # carry-free: per-block attenuation factors, combined by product
+        def body(blk):
             bv0, be1, be2, bgn, btr, bsa, bvalid = blk
             _, _, _, hit = _mt_block(co, cd, bv0, be1, be2, ctmin, ctmax)
             hit = hit & bvalid[None, :]
@@ -242,13 +232,10 @@ def occlusion_brute(
                 jnp.where(btr[None, :, None], jnp.clip(trans, 0.0, 1.0), 0.0),
                 1.0,
             )
-            return atten * jnp.prod(factor, axis=1), None
+            return jnp.prod(factor, axis=1)
 
-        init = jnp.ones((rc, 3), jnp.float32)
-        atten, _ = jax.lax.scan(
-            body, init, (v0b, e1b, e2b, gnb, transpb, sattb, validb)
-        )
-        return atten
+        factors = jax.lax.map(body, (v0b, e1b, e2b, gnb, transpb, sattb, validb))
+        return jnp.prod(factors, axis=0)
 
     chunks = (
         ro_p.reshape(nchunk, rc, 3),
@@ -258,6 +245,70 @@ def occlusion_brute(
     )
     atten = jax.lax.map(per_chunk, chunks)
     return atten.reshape(-1, 3)[:n]
+
+
+# ------------------------------------------------------------- dispatchers
+def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
+    """Recompute (t, u, v) differentiably for the already-found triangle.
+
+    Traversal is discrete (and reverse-mode can't cross its while_loop),
+    so the kernels run under stop_gradient and this O(N) Moller-Trumbore
+    recompute restores exact gradients w.r.t. rays and vertices — the
+    backward pass never touches the acceleration structure. (This also
+    shrinks the brute-force backward from O(N*T) to O(N).)
+    """
+    tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
+    v0 = scene.v0[tri]
+    e1 = scene.e1[tri]
+    e2 = scene.e2[tri]
+    pvec = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
+    tvec = ro - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(rd * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    valid = hit.tri >= 0
+    return Hit(
+        t=jnp.where(valid, t, BIG_T),
+        tri=hit.tri,
+        u=jnp.where(valid, u, 0.0),
+        v=jnp.where(valid, v, 0.0),
+    )
+
+
+def intersect(scene, ro, rd, t_min, t_max, backend: str = "auto",
+              packet: int = 1024) -> Hit:
+    """Closest-hit dispatcher: BVH packet traversal when the scene has an
+    acceleration structure, brute force otherwise. Always differentiable
+    via refine_hit."""
+    use_bvh = (backend == "bvh") or (backend == "auto" and scene.has_bvh)
+    sg = jax.lax.stop_gradient
+    if use_bvh:
+        from fovtrace.kernels import bvh_traverse
+
+        raw = bvh_traverse.intersect_bvh(
+            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max), packet
+        )
+    else:
+        raw = intersect_brute(sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max))
+    return refine_hit(scene, ro, rd, raw)
+
+
+def occlusion(scene, ro, rd, t_min, t_max, backend: str = "auto",
+              packet: int = 1024) -> jnp.ndarray:
+    """Shadow-attenuation dispatcher. Visibility is treated as locally
+    constant under differentiation (standard differentiable-rendering
+    convention for binary occlusion; SURVEY.md §7 hard part #3)."""
+    use_bvh = (backend == "bvh") or (backend == "auto" and scene.has_bvh)
+    sg = jax.lax.stop_gradient
+    if use_bvh:
+        from fovtrace.kernels import bvh_traverse
+
+        return sg(bvh_traverse.occlusion_bvh(
+            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max), packet))
+    return sg(occlusion_brute(sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max)))
 
 
 # --------------------------------------------------------------- shading IO

@@ -31,7 +31,7 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
     ro_f = ro.reshape(-1, 3)
     rd_f = rd.reshape(-1, 3)
 
-    hit = isect.intersect_brute(scene, ro_f, rd_f, config.scene_epsilon,
+    hit = isect.intersect(scene, ro_f, rd_f, config.scene_epsilon,
                                 isect.BIG_T)
     surf = isect.hit_surface(scene, ro_f, rd_f, hit)
     valid = hit.valid
@@ -50,7 +50,7 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
     n_ff = mathx.faceforward(surf["normal"], -rd_f, surf["gnormal"])
     ndl = jnp.sum(n_ff * l, axis=-1)
     lndl = jnp.sum(light.normal * l, axis=-1)
-    atten = isect.occlusion_brute(
+    atten = isect.occlusion(
         scene, point + n_ff * config.scene_epsilon, l,
         config.scene_epsilon, ldist - config.scene_epsilon,
     )

@@ -62,14 +62,17 @@ def envmap_lookup(envmap: jnp.ndarray, dirs: jnp.ndarray, scale: float = 2.0):
 
 
 def nee_direct(scene, point, normal, kd, seeds, config,
-               specular: bool = False, ks=None, phong_exp=None, wo=None):
+               ks=None, phong_exp=None, wo=None):
     """Next-event estimation against the parallelogram area light.
 
-    diffuse.cu:92-119: sample light at corner + v1*z1 + v2*z2, shadow ray,
-    solid-angle weight nDl * LnDl * A / (pi * d^2). For the phong variant
-    (reflection.cu:89-126): contribution Kd*nDl*Lc + Ks*(n.H)^exp * Lc.
+    One light sample + ONE shadow ray per hit (matching the reference,
+    where exactly one closest-hit program runs per hit), producing both
+    the diffuse contribution (diffuse.cu:92-119: weight = nDl * LnDl * A /
+    (pi * d^2), contrib = Kd * Lc) and the phong contribution
+    (reflection.cu:89-126: Kd*nDl*Lc + Ks*(n.H)^exp * Lc); the caller
+    selects per material kind.
 
-    Returns (radiance [N,3], new_seeds).
+    Returns (diffuse_radiance [N,3], phong_radiance [N,3], new_seeds).
     """
     light = scene.light
     z1, seeds = rng.rnd(seeds)
@@ -82,25 +85,28 @@ def nee_direct(scene, point, normal, kd, seeds, config,
     lndl = jnp.sum(light.normal * l, axis=-1)
     facing = (ndl > 0.0) & (lndl > 0.0)
 
-    atten = isect.occlusion_brute(
+    atten = isect.occlusion(
         scene, point + normal * config.scene_epsilon, l,
         config.scene_epsilon, ldist - config.scene_epsilon,
     )
     area = light.area
     weight = ndl * lndl * area / (jnp.pi * ldist * ldist)
     lc = light.emission * weight[:, None] * atten
-    if specular:
-        contrib = kd * ndl[:, None] * lc
-        h = mathx.normalize(l - wo)
-        ndh = jnp.sum(normal * h, axis=-1)
-        spec = jnp.where(
-            ndh[:, None] > 0.0, ks * lc * (jnp.maximum(ndh, 1e-9) ** phong_exp)[:, None], 0.0
-        )
-        contrib = contrib + spec
-    else:
-        contrib = kd * lc
-    contrib = jnp.where(facing[:, None], contrib, 0.0)
-    return contrib, seeds
+
+    diffuse_contrib = kd * lc
+    phong_contrib = kd * ndl[:, None] * lc
+    h = mathx.normalize(l - wo)
+    ndh = jnp.sum(normal * h, axis=-1)
+    spec = jnp.where(
+        ndh[:, None] > 0.0,
+        ks * lc * (jnp.maximum(ndh, 1e-9) ** phong_exp)[:, None],
+        0.0,
+    )
+    phong_contrib = phong_contrib + spec
+
+    diffuse_contrib = jnp.where(facing[:, None], diffuse_contrib, 0.0)
+    phong_contrib = jnp.where(facing[:, None], phong_contrib, 0.0)
+    return diffuse_contrib, phong_contrib, seeds
 
 
 def shade(scene, ro, rd, seeds, config):
@@ -123,7 +129,7 @@ def shade(scene, ro, rd, seeds, config):
     gi_depth = jnp.zeros((n,), jnp.int32)   # diffuse bounce counter
 
     for bounce in range(config.max_depth):
-        hit = isect.intersect_brute(
+        hit = isect.intersect(
             scene, origin, direction, config.scene_epsilon, isect.BIG_T
         )
         missed = alive & ~hit.valid
@@ -144,14 +150,12 @@ def shade(scene, ro, rd, seeds, config):
             first_normal = jnp.where(hit.valid[:, None], n_sh, first_normal)
             first_t = jnp.where(hit.valid, hit.t, first_t)
 
-        # ---------- diffuse: NEE + cosine GI bounce --------------------
-        direct_d, seeds = nee_direct(scene, point, n_sh, kd, seeds, config)
-        # ---------- reflection: phong direct + schlick mirror ----------
+        # ---------- NEE direct lighting (diffuse + phong variants) -----
         ks = mats.ks[safe_mat]
         pexp = mats.phong_exp[safe_mat]
-        direct_r, seeds = nee_direct(
+        direct_d, direct_r, seeds = nee_direct(
             scene, point, n_sh, kd, seeds, config,
-            specular=True, ks=ks, phong_exp=pexp, wo=direction,
+            ks=ks, phong_exp=pexp, wo=direction,
         )
         refl_n = mats.reflectivity_n[safe_mat]
         cos_i = jnp.maximum(-jnp.sum(n_sh * direction, axis=-1), 0.0)

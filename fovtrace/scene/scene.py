@@ -147,6 +147,46 @@ class Scene:
     bbox_min: jnp.ndarray  # [3]
     bbox_max: jnp.ndarray  # [3]
 
+    # flattened BVH (None until with_bvh(); triangles then in leaf order)
+    bvh_nodes_min: Optional[jnp.ndarray] = None   # [Nn,3]
+    bvh_nodes_max: Optional[jnp.ndarray] = None   # [Nn,3]
+    bvh_left: Optional[jnp.ndarray] = None        # [Nn] i32
+    bvh_right: Optional[jnp.ndarray] = None       # [Nn] i32
+    bvh_leaf: Optional[jnp.ndarray] = None        # [Nn] i32
+    bvh_max_stack: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def has_bvh(self) -> bool:
+        return self.bvh_nodes_min is not None
+
+    def with_bvh(self, max_leaf: int = 16) -> "Scene":
+        """Build the acceleration structure (host-side) and reorder the
+        triangle arrays into leaf order. Replaces the OptiX Trbvh build
+        (PathTracer.cpp:641,648)."""
+        from fovtrace.scene import bvh as bvh_mod
+
+        valid = np.asarray(self.mat_id) >= 0
+        flat = bvh_mod.build_bvh(
+            np.asarray(self.v0), np.asarray(self.e1), np.asarray(self.e2),
+            valid, max_leaf=max_leaf,
+        )
+        arrays = {
+            k: getattr(self, k)
+            for k in ("v0", "e1", "e2", "n0", "n1", "n2", "uv0", "uv1",
+                      "uv2", "mat_id")
+        }
+        re = bvh_mod.reorder_scene_arrays(arrays, flat.order)
+        j = jnp.asarray
+        return self.replace(
+            **{k: j(v) for k, v in re.items()},
+            bvh_nodes_min=j(flat.nodes_min),
+            bvh_nodes_max=j(flat.nodes_max),
+            bvh_left=j(flat.nodes_left),
+            bvh_right=j(flat.nodes_right),
+            bvh_leaf=j(flat.nodes_leaf),
+            bvh_max_stack=int(flat.max_depth + 2),
+        )
+
     @property
     def num_triangles(self) -> int:
         return self.v0.shape[0]

@@ -1,8 +1,9 @@
 import os
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import jax
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from fovtrace import RenderConfig, Camera
