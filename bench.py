@@ -50,7 +50,6 @@ def main():
           f"device={jax.devices()[0]}", file=sys.stderr)
 
     n_pix = config.n_pixels
-    rays_per_frame = 2 * n_pix + 2 * config.ray_budget * config.max_depth
 
     fwd = jax.jit(lambda s, c, g, st: pipeline.render_frame(s, c, g, st, config))
 
@@ -68,6 +67,10 @@ def main():
     out, state = fwd(scene, cam, gaze, state)
     jax.block_until_ready(out["image"])
     print(f"[bench] fwd compile {time.time()-t0:.1f}s", file=sys.stderr)
+    # honest per-frame ray work measured on device (primary + shadow +
+    # compacted bounce rays; mirrors the reference's ray_count metric,
+    # main.cpp:288-299, extended to every traced ray)
+    rays_per_frame = int(out["rays_traced"])
 
     if args.forward_only:
         step = lambda st: fwd(scene, cam, gaze, st)[1]

@@ -60,8 +60,11 @@ def refract(i, n, eta_ratio):
     eta = jnp.where(entering, 1.0 / eta_ratio, eta_ratio)
     ci = jnp.abs(cosi)
     k = 1.0 - eta * eta * (1.0 - ci * ci)
-    tir = k < 0.0
-    t = eta * i + (eta * ci - jnp.sqrt(jnp.maximum(k, 0.0))) * nn
+    tir = k <= 0.0
+    # sqrt'(0) = inf: substitute k=1 on TIR lanes BEFORE sqrt so the masked
+    # branch stays NaN-free in the backward pass (0 * inf = NaN otherwise).
+    k_safe = jnp.where(tir, 1.0, k)
+    t = eta * i + (eta * ci - jnp.sqrt(k_safe)) * nn
     return jnp.where(tir, 0.0, normalize(t)), tir[..., 0]
 
 

@@ -278,14 +278,27 @@ def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
     )
 
 
+def _pick_backend(scene, backend: str) -> str:
+    """auto: the Pallas cluster kernel on TPU (pallas_isect — the fast
+    path), packet BVH or brute force elsewhere."""
+    if backend != "auto":
+        return backend
+    if jax.default_backend() == "tpu":
+        return "pallas"
+    return "bvh" if scene.has_bvh else "brute"
+
+
 def intersect(scene, ro, rd, t_min, t_max, backend: str = "auto",
               packet: int = 1024) -> Hit:
-    """Closest-hit dispatcher: BVH packet traversal when the scene has an
-    acceleration structure, brute force otherwise. Always differentiable
-    via refine_hit."""
-    use_bvh = (backend == "bvh") or (backend == "auto" and scene.has_bvh)
+    """Closest-hit dispatcher. Always differentiable via refine_hit."""
+    backend = _pick_backend(scene, backend)
     sg = jax.lax.stop_gradient
-    if use_bvh:
+    if backend == "pallas":
+        from fovtrace.kernels import pallas_isect
+
+        raw = pallas_isect.intersect_pallas(
+            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max))
+    elif backend == "bvh":
         from fovtrace.kernels import bvh_traverse
 
         raw = bvh_traverse.intersect_bvh(
@@ -301,9 +314,14 @@ def occlusion(scene, ro, rd, t_min, t_max, backend: str = "auto",
     """Shadow-attenuation dispatcher. Visibility is treated as locally
     constant under differentiation (standard differentiable-rendering
     convention for binary occlusion; SURVEY.md §7 hard part #3)."""
-    use_bvh = (backend == "bvh") or (backend == "auto" and scene.has_bvh)
+    backend = _pick_backend(scene, backend)
     sg = jax.lax.stop_gradient
-    if use_bvh:
+    if backend == "pallas":
+        from fovtrace.kernels import pallas_isect
+
+        return sg(pallas_isect.occlusion_pallas(
+            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max)))
+    if backend == "bvh":
         from fovtrace.kernels import bvh_traverse
 
         return sg(bvh_traverse.occlusion_bvh(
@@ -312,6 +330,38 @@ def occlusion(scene, ro, rd, t_min, t_max, backend: str = "auto",
 
 
 # --------------------------------------------------------------- shading IO
+def onehot_rows(ids: jnp.ndarray, m: int) -> jnp.ndarray:
+    """[N, M] f32 one-hot of clamped int ids — the TPU-fast way to read
+    small tables: `onehot @ table` is one MXU matmul, whereas `table[ids]`
+    is a scalar-unit gather. Differentiable w.r.t. the table."""
+    return (ids[:, None] == jnp.arange(m, dtype=ids.dtype)[None, :]).astype(
+        jnp.float32
+    )
+
+
+def material_lookup(materials, safe_mat: jnp.ndarray, columns) -> list:
+    """Fetch several per-material columns with ONE one-hot matmul.
+
+    columns: list of (name, width). Returns the corresponding [N, width]
+    arrays (width 1 -> [N]). Gradients flow into the material table.
+    """
+    m = materials.kind.shape[0]
+    parts = []
+    for name, width in columns:
+        col = getattr(materials, name)
+        col = col.astype(jnp.float32)
+        parts.append(col[:, None] if col.ndim == 1 else col)
+    table = jnp.concatenate(parts, axis=1)           # [M, sum(widths)]
+    vals = onehot_rows(safe_mat, m) @ table          # [N, sum]
+    out = []
+    off = 0
+    for name, width in columns:
+        sl = vals[:, off:off + width]
+        out.append(sl[:, 0] if width == 1 else sl)
+        off += width
+    return out
+
+
 def hit_surface(scene, ro, rd, hit: Hit):
     """Interpolate surface attributes at hits.
 
@@ -321,34 +371,59 @@ def hit_surface(scene, ro, rd, hit: Hit):
     point is recomputed as o + t*d (the 'refined' front hit surrogate).
     Triangle ids are stop-gradiented; positions remain differentiable
     through t, u, v.
+
+    Fast path: ONE packed row gather from scene.tri_attr (built by
+    with_pack) + a one-hot matmul for material albedo, instead of ~10
+    scattered XLA gathers (per-vertex attributes are compile-time
+    constants of the scene on this path; vertex-attribute gradients need
+    the fallback path).
     """
     tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
     u = hit.u[:, None]
     v = hit.v[:, None]
     w = 1.0 - u - v
 
-    n_sh = w * scene.n0[tri] + u * scene.n1[tri] + v * scene.n2[tri]
-    n_sh = mathx.normalize(n_sh)
-    gn = jnp.cross(scene.e1[tri], scene.e2[tri])
-    gn = mathx.normalize(gn)
-    uv = w * scene.uv0[tri] + u * scene.uv1[tri] + v * scene.uv2[tri]
-    point = ro + hit.t[:, None] * rd
+    if getattr(scene, "tri_attr", None) is not None:
+        attr = scene.tri_attr[tri]                   # [N, 24] single gather
+        n_sh = w * attr[:, 0:3] + u * attr[:, 3:6] + v * attr[:, 6:9]
+        n_sh = mathx.normalize(n_sh)
+        gn = attr[:, 9:12]
+        uv = w * attr[:, 12:14] + u * attr[:, 14:16] + v * attr[:, 16:18]
+        mat_id_f = attr[:, 18]
+        mat_id = jnp.where(hit.tri >= 0,
+                           mat_id_f.astype(jnp.int32), -1)
+    else:
+        n_sh = w * scene.n0[tri] + u * scene.n1[tri] + v * scene.n2[tri]
+        n_sh = mathx.normalize(n_sh)
+        gn = mathx.normalize(jnp.cross(scene.e1[tri], scene.e2[tri]))
+        uv = w * scene.uv0[tri] + u * scene.uv1[tri] + v * scene.uv2[tri]
+        mat_id = jnp.where(hit.tri >= 0, scene.mat_id[tri], -1)
 
-    mat_id = jnp.where(hit.tri >= 0, scene.mat_id[tri], -1)
+    # miss lanes carry t = BIG_T; clamp them so downstream dead-lane math
+    # (light distance, Beer's law) stays finite — otherwise inf intermediates
+    # poison the backward pass through jnp.where (0 * inf = NaN).
+    t_safe = jnp.where(hit.valid, hit.t, 0.0)
+    point = ro + t_safe[:, None] * rd
+
     safe_mat = jnp.maximum(mat_id, 0)
-    kd = scene.materials.kd[safe_mat]
+    kd, tex_id_f = material_lookup(
+        scene.materials, safe_mat, [("kd", 3), ("texture_id", 1)]
+    )
+    tex_id = tex_id_f.astype(jnp.int32)
 
     # albedo texture lookup (nearest; Kd_map in load_obj PathTracer.cpp:702)
-    tex_id = scene.materials.texture_id[safe_mat]
     ntex, th, tw = (
         scene.textures.shape[0],
         scene.textures.shape[1],
         scene.textures.shape[2],
     )
-    tx = jnp.clip((uv[:, 0] % 1.0) * tw, 0, tw - 1).astype(jnp.int32)
-    ty = jnp.clip((uv[:, 1] % 1.0) * th, 0, th - 1).astype(jnp.int32)
-    texel = scene.textures[jnp.clip(tex_id, 0, ntex - 1), ty, tx]
-    kd = jnp.where(tex_id[:, None] >= 0, kd * texel, kd)
+    # skip the texel gather for the 1x8x8 placeholder atlas (no scene
+    # textures) — statically decidable from the atlas shape
+    if ntex > 1 or th * tw > 64:
+        tx = jnp.clip((uv[:, 0] % 1.0) * tw, 0, tw - 1).astype(jnp.int32)
+        ty = jnp.clip((uv[:, 1] % 1.0) * th, 0, th - 1).astype(jnp.int32)
+        texel = scene.textures[jnp.clip(tex_id, 0, ntex - 1), ty, tx]
+        kd = jnp.where(tex_id[:, None] >= 0, kd * texel, kd)
 
     return {
         "point": point,
@@ -357,4 +432,5 @@ def hit_surface(scene, ro, rd, hit: Hit):
         "uv": uv,
         "mat_id": mat_id,
         "kd": kd,
+        "t_safe": t_safe,
     }

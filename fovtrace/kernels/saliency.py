@@ -98,10 +98,21 @@ def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4):
     length (for the DOF theta).
     """
     h, w = gbuf["depth"].shape
-    # block-corner sampling coordinates (4*(x/4))
-    ys = (jnp.arange(h) // block) * block
-    xs = (jnp.arange(w) // block) * block
-    gather = lambda img: img[ys[:, None], xs[None, :]]
+
+    # block-corner sampling (4*(x/4)): strided slice + broadcast instead
+    # of a 2-D gather — XLA gathers are pathologically slow on TPU,
+    # slices and broadcasts are free
+    if h % block == 0 and w % block == 0:
+        def gather(img):
+            c = img[::block, ::block]
+            hb, wb = c.shape
+            return jnp.broadcast_to(
+                c[:, None, :, None], (hb, block, wb, block)
+            ).reshape(h, w)
+    else:
+        ys = (jnp.arange(h) // block) * block
+        xs = (jnp.arange(w) // block) * block
+        gather = lambda img: img[ys[:, None], xs[None, :]]
 
     albedo = gbuf["albedo"]
     rg, by, lum = rgby_opponency(albedo)

@@ -119,21 +119,32 @@ def logpolar_sampling(height: int, width: int, gaze_px, kernel_scale: float = 0.
     return d < jnp.sqrt(jnp.sqrt(2.0) * 1.5)
 
 
+def compact_mask(mask: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """O(N) stable stream compaction of a flat bool mask via cumsum +
+    scatter (no sort). Returns (idx [budget] int32 positions of the set
+    bits in order, active [budget] bool). Excess set bits beyond
+    `budget` are dropped."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask & (pos < budget), pos, budget)
+    idx = jnp.full((budget,), 0, jnp.int32)
+    idx = idx.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    total = jnp.sum(mask.astype(jnp.int32))
+    active = jnp.arange(budget) < total
+    return idx, active
+
+
 def compact_rays(mask: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static-size stream compaction of a [H,W] bool mask.
 
-    Replaces warpSort.cu's serial row/column compaction with one
-    descending argsort over the flat mask (stable, so compacted rays stay
-    in scanline order -> memory-coherent gathers, the TPU analog of warp
-    coherence). Returns (indices [budget] int32 into the flat pixel
-    array, active [budget] bool). If the mask has more than `budget` set
-    pixels the excess is dropped (callers choose budget >= expected max).
+    Replaces warpSort.cu's serial row/column compaction with an O(N)
+    cumsum+scatter (stable: compacted rays stay in scanline order ->
+    memory-coherent gathers, the TPU analog of warp coherence). Returns
+    (indices [budget] int32 into the flat pixel array, active [budget]
+    bool). If the mask has more than `budget` set pixels the excess is
+    dropped (callers choose budget >= expected max).
     """
-    flat = mask.reshape(-1)
-    order = jnp.argsort(~flat, stable=True)  # True (0) first
-    idx = order[:budget].astype(jnp.int32)
-    active = flat[idx]
-    return idx, active
+    return compact_mask(mask.reshape(-1), budget)
 
 
 def scatter_rays(values: jnp.ndarray, idx: jnp.ndarray, active: jnp.ndarray,

@@ -19,10 +19,30 @@ we reuse the hit record for every channel.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
+import numpy as np
 
 from fovtrace.core import mathx
 from fovtrace.kernels import intersect as isect
+
+
+@functools.lru_cache(maxsize=8)
+def _swizzle(height: int, width: int, tile: int = 16):
+    """(perm, inv_perm) mapping scanline order <-> 2D-tile order. Tile
+    order makes each 256-ray kernel block a compact screen tile, so the
+    intersection kernel's bundle frustums are tight (better cluster
+    culling)."""
+    if height % tile or width % tile:
+        return None
+    from fovtrace.kernels.pallas_isect import tile_swizzle_indices
+
+    # numpy only: jnp constants created here would leak tracers when the
+    # cache is filled inside one jit trace and read inside another
+    perm = tile_swizzle_indices(height, width, tile)
+    inv = np.argsort(perm).astype(np.int32)
+    return perm, inv
 
 
 def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
@@ -30,6 +50,12 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
     ro, rd = camera.primary_rays(width, height)
     ro_f = ro.reshape(-1, 3)
     rd_f = rd.reshape(-1, 3)
+
+    sw = _swizzle(height, width)
+    if sw is not None:
+        perm, _ = sw
+        ro_f = ro_f[perm]
+        rd_f = rd_f[perm]
 
     hit = isect.intersect(scene, ro_f, rd_f, config.scene_epsilon,
                                 isect.BIG_T)
@@ -50,19 +76,29 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
     n_ff = mathx.faceforward(surf["normal"], -rd_f, surf["gnormal"])
     ndl = jnp.sum(n_ff * l, axis=-1)
     lndl = jnp.sum(light.normal * l, axis=-1)
+    shadow_relevant = valid & (ndl > 0.0) & (lndl > 0.0)
     atten = isect.occlusion(
         scene, point + n_ff * config.scene_epsilon, l,
-        config.scene_epsilon, ldist - config.scene_epsilon,
+        config.scene_epsilon,
+        # misses / backfacing pixels: t_max=-1 -> culled in the kernel
+        jnp.where(shadow_relevant, ldist - config.scene_epsilon, -1.0),
     )
     lit = jnp.max(atten, axis=-1) > 0.0
-    shadow_term = jnp.where(valid & (ndl > 0.0) & (lndl > 0.0), lit.astype(jnp.float32),
-                            jnp.where(valid, 0.0, 0.0))
+    shadow_term = jnp.where(shadow_relevant, lit.astype(jnp.float32), 0.0)
 
     albedo = jnp.where(valid[:, None], surf["kd"], 0.0)
 
     # reverse reprojection into the previous frame's screen
     reproject = prev_camera.world_to_screen(point, width, height)
     reproject = jnp.where(valid[:, None], reproject, -1.0)
+
+    if sw is not None:
+        _, inv = sw
+        unsw = lambda a: a[inv]
+        point, gnormal, shadow_term, depth, albedo, reproject, valid = (
+            unsw(point), unsw(gnormal), unsw(shadow_term), unsw(depth),
+            unsw(albedo), unsw(reproject), unsw(valid),
+        )
 
     shp = (height, width)
     return {
@@ -73,4 +109,9 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
         "albedo": albedo.reshape(shp + (3,)),
         "reproject_uv": reproject.reshape(shp + (2,)),
         "hit_valid": valid.reshape(shp),
+        # primary rays + issued shadow rays (bench accounting)
+        "rays_traced": (
+            jnp.asarray(height * width, jnp.int32)
+            + jnp.sum(shadow_relevant.astype(jnp.int32))
+        ),
     }

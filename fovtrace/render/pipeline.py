@@ -126,7 +126,7 @@ def render_frame(
     dirs = _unproject(camera, ndc_x, ndc_y, w, h)
     origins = jnp.broadcast_to(camera.eye, dirs.shape)
 
-    radiance, _aux = shade_mod.shade(scene, origins, dirs, seeds, config)
+    radiance, shade_aux = shade_mod.shade(scene, origins, dirs, seeds, config)
     tonemapped = colorx.uncharted2_tonemap(radiance, config.exposure_bias)
 
     # temporal accumulate: final = tonemapped + history
@@ -164,6 +164,10 @@ def render_frame(
         "traced": traced_mask,
         "gaze_target": gaze_target,
         "ray_count": ray_count,
+        # honest device ray work this frame: G-buffer primary + issued
+        # shadow rays, plus every closest-hit/shadow ray of the compacted
+        # wavefront bounces (bench.py's Mrays/s numerator)
+        "rays_traced": gbuf["rays_traced"] + shade_aux["rays_traced"],
     }
 
     recon = config.reconstruction

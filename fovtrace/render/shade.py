@@ -62,7 +62,7 @@ def envmap_lookup(envmap: jnp.ndarray, dirs: jnp.ndarray, scale: float = 2.0):
 
 
 def nee_direct(scene, point, normal, kd, seeds, config,
-               ks=None, phong_exp=None, wo=None):
+               ks=None, phong_exp=None, wo=None, enabled=None):
     """Next-event estimation against the parallelogram area light.
 
     One light sample + ONE shadow ray per hit (matching the reference,
@@ -85,9 +85,14 @@ def nee_direct(scene, point, normal, kd, seeds, config,
     lndl = jnp.sum(light.normal * l, axis=-1)
     facing = (ndl > 0.0) & (lndl > 0.0)
 
+    shadow_tmax = ldist - config.scene_epsilon
+    if enabled is not None:
+        # disabled lanes (misses / dead rays) cost nothing: t_max = -1
+        # fails every slab test in the occlusion kernel
+        shadow_tmax = jnp.where(enabled & facing, shadow_tmax, -1.0)
     atten = isect.occlusion(
         scene, point + normal * config.scene_epsilon, l,
-        config.scene_epsilon, ldist - config.scene_epsilon,
+        config.scene_epsilon, shadow_tmax,
     )
     area = light.area
     weight = ndl * lndl * area / (jnp.pi * ldist * ldist)
@@ -114,11 +119,20 @@ def shade(scene, ro, rd, seeds, config):
 
     ro, rd: [N,3]; seeds: [N] uint32 per-ray streams.
     Returns (radiance [N,3], aux dict with first-hit point/normal/depth).
+
+    Wavefront COMPACTION between bounces: after each bounce the surviving
+    rays (diffuse GI continuations + specular above the importance
+    cutoff) are stream-compacted to a shrinking static budget, so later
+    bounces trace dense fronts instead of mostly-dead lanes — the TPU
+    analog of the reference's warpSort compaction, applied per bounce.
+    Budgets are halves of the previous width (floor 1024); overflow rays
+    beyond a budget are dropped (they are below-cutoff tails).
     """
     n = ro.shape[0]
     mats = scene.materials
 
     result = jnp.zeros((n, 3), jnp.float32)
+    pix = jnp.arange(n, dtype=jnp.int32)   # original ray slot per lane
     throughput = jnp.ones((n, 3), jnp.float32)
     alive = jnp.ones((n,), bool)
     origin = ro
@@ -127,14 +141,20 @@ def shade(scene, ro, rd, seeds, config):
     first_normal = jnp.zeros((n, 3), jnp.float32)
     first_t = jnp.full((n,), isect.BIG_T, jnp.float32)
     gi_depth = jnp.zeros((n,), jnp.int32)   # diffuse bounce counter
+    rays_traced = jnp.zeros((), jnp.int32)  # closest-hit + shadow rays
 
     for bounce in range(config.max_depth):
+        # dead lanes get t_max = -1: they fail every slab test, so whole
+        # dead blocks are culled by the kernel's liveness schedule
+        t_max = jnp.where(alive, isect.BIG_T, -1.0)
         hit = isect.intersect(
-            scene, origin, direction, config.scene_epsilon, isect.BIG_T
+            scene, origin, direction, config.scene_epsilon, t_max
         )
         missed = alive & ~hit.valid
         env = envmap_lookup(scene.envmap, direction, config.envmap_scale)
-        result = jnp.where(missed[:, None], result + throughput * env, result)
+        result = result.at[pix].add(
+            jnp.where(missed[:, None], throughput * env, 0.0), mode="drop"
+        )
 
         surf = isect.hit_surface(scene, origin, direction, hit)
         point = surf["point"]
@@ -142,40 +162,48 @@ def shade(scene, ro, rd, seeds, config):
         kd = surf["kd"]
         mat_id = surf["mat_id"]
         safe_mat = jnp.maximum(mat_id, 0)
-        kind = jnp.where(mat_id >= 0, mats.kind[safe_mat], -1)
+
+        # ALL per-material parameters in ONE one-hot matmul (XLA gathers
+        # from small tables are scalar-unit-bound on TPU; a [N,M]x[M,K]
+        # matmul is ~free and keeps the table differentiable)
+        (kind_f, ks, pexp, refl_n, ior, extinction, refr_color, refl_color,
+         fres_exp, fres_min, fres_max) = isect.material_lookup(
+            mats, safe_mat,
+            [("kind", 1), ("ks", 3), ("phong_exp", 1),
+             ("reflectivity_n", 3), ("ior", 1), ("extinction", 3),
+             ("refraction_color", 3), ("reflection_color", 3),
+             ("fresnel_exponent", 1), ("fresnel_minimum", 1),
+             ("fresnel_maximum", 1)],
+        )
+        kind = jnp.where(mat_id >= 0, kind_f.astype(jnp.int32), -1)
 
         live_hit = alive & hit.valid
+        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32)) + \
+            jnp.sum(live_hit.astype(jnp.int32))
         if bounce == 0:
             first_point = jnp.where(hit.valid[:, None], point, first_point)
             first_normal = jnp.where(hit.valid[:, None], n_sh, first_normal)
             first_t = jnp.where(hit.valid, hit.t, first_t)
 
         # ---------- NEE direct lighting (diffuse + phong variants) -----
-        ks = mats.ks[safe_mat]
-        pexp = mats.phong_exp[safe_mat]
         direct_d, direct_r, seeds = nee_direct(
             scene, point, n_sh, kd, seeds, config,
-            ks=ks, phong_exp=pexp, wo=direction,
+            ks=ks, phong_exp=pexp, wo=direction, enabled=live_hit,
         )
-        refl_n = mats.reflectivity_n[safe_mat]
         cos_i = jnp.maximum(-jnp.sum(n_sh * direction, axis=-1), 0.0)
         r_schlick = mathx.schlick_rgb(cos_i[:, None], refl_n)
 
         # ---------- refraction: fresnel split, single successor --------
-        ior = mats.ior[safe_mat]
         t_dir, tir = mathx.refract(direction, surf["normal"], ior[:, None])
         cos_n = jnp.sum(direction * surf["normal"], axis=-1)
         cos_theta = jnp.where(cos_n < 0.0, -cos_n,
                               jnp.sum(t_dir * surf["normal"], axis=-1))
-        fres = mathx.fresnel_schlick(
-            cos_theta, mats.fresnel_exponent[safe_mat],
-            mats.fresnel_minimum[safe_mat], mats.fresnel_maximum[safe_mat],
-        )
+        fres = mathx.fresnel_schlick(cos_theta, fres_exp, fres_min, fres_max)
         fres = jnp.where(tir, 1.0, fres)
         exiting = cos_n > 0.0
         beer = jnp.where(
             exiting[:, None],
-            jnp.exp(mats.extinction[safe_mat] * hit.t[:, None]),
+            jnp.exp(extinction * surf["t_safe"][:, None]),
             1.0,
         )
         zr, seeds = rng.rnd(seeds)
@@ -183,9 +211,7 @@ def shade(scene, ro, rd, seeds, config):
         refr_dir = jnp.where(choose_refl[:, None],
                              mathx.reflect(direction, surf["normal"]), t_dir)
         refr_weight = jnp.where(
-            choose_refl[:, None],
-            mats.reflection_color[safe_mat],
-            mats.refraction_color[safe_mat],
+            choose_refl[:, None], refl_color, refr_color,
         ) * beer * kd
 
         # ---------- select by material kind ----------------------------
@@ -196,7 +222,7 @@ def shade(scene, ro, rd, seeds, config):
         direct = jnp.where(is_diff[:, None], direct_d, 0.0) + jnp.where(
             is_refl[:, None], direct_r, 0.0
         )
-        result = result + throughput * direct
+        result = result.at[pix].add(throughput * direct, mode="drop")
 
         # continuation ray
         z1, seeds = rng.rnd(seeds)
@@ -233,9 +259,27 @@ def shade(scene, ro, rd, seeds, config):
         gi_depth = jnp.where(is_diff & go, gi_depth + 1, gi_depth)
         alive = go
 
+        # ---- compact the surviving front for the next bounce -----------
+        if bounce + 1 < config.max_depth:
+            from fovtrace.kernels import sampling as sampling_mod
+
+            width = origin.shape[0]
+            budget = max(1024, width // 2)
+            if budget < width:
+                idx, active = sampling_mod.compact_mask(alive, budget)
+                gather = lambda a: a[idx]
+                origin = gather(origin)
+                direction = gather(direction)
+                throughput = gather(throughput)
+                seeds = gather(seeds)
+                gi_depth = gather(gi_depth)
+                pix = jnp.where(active, gather(pix), n)  # n = OOB drop
+                alive = active & gather(alive)
+
     aux = {
         "point": first_point,
         "normal": first_normal,
         "t": first_t,
+        "rays_traced": rays_traced,
     }
     return result, aux

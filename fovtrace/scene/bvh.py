@@ -42,11 +42,33 @@ class FlatBVH:
 
 def build_bvh(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray,
               valid: np.ndarray, max_leaf: int = 16, leaf_align: int = 16,
-              num_bins: int = 16) -> FlatBVH:
+              num_bins: int = 16, use_native: bool = True) -> FlatBVH:
     """Binned-SAH BVH2 over triangles (v0, v0+e1, v0+e2).
 
     `valid` masks out padding triangles (they never enter the tree).
+    Prefers the native C++ builder (native/fovnative.cpp — the host-side
+    counterpart of OptiX's Trbvh build); the pure-python path below is
+    the fallback and the test oracle (identical flat layout).
     """
+    if use_native:
+        try:
+            from fovtrace import native as _native
+
+            out = _native.build_bvh_native(
+                np.asarray(v0, np.float32), np.asarray(e1, np.float32),
+                np.asarray(e2, np.float32), np.asarray(valid, np.uint8),
+                max_leaf=max_leaf, leaf_align=leaf_align, num_bins=num_bins,
+            )
+            if out is not None:
+                return FlatBVH(
+                    nodes_min=out["nodes_min"], nodes_max=out["nodes_max"],
+                    nodes_left=out["nodes_left"],
+                    nodes_right=out["nodes_right"],
+                    nodes_leaf=out["nodes_leaf"], order=out["order"],
+                    max_depth=out["max_depth"],
+                )
+        except Exception:
+            pass
     idx_all = np.nonzero(valid)[0]
     t = len(idx_all)
     if t == 0:

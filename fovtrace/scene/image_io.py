@@ -51,7 +51,12 @@ def load_ppm(path: str) -> np.ndarray:
 
 
 def save_ppm(path: str, img: np.ndarray) -> None:
-    img8 = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    """img: [H,W,3] float in [0,1] or uint8 in [0,255]."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img8 = img
+    else:
+        img8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     h, w = img8.shape[:2]
     with open(path, "wb") as f:
         f.write(b"P6\n%d %d\n255\n" % (w, h))
@@ -106,8 +111,13 @@ def load_hdr(path: str) -> np.ndarray:
 
 # ------------------------------------------------------------------- BMP
 def save_bmp(path: str, img: np.ndarray) -> None:
-    """24-bit BMP writer (gui.cpp:315-355 `saveBMP24`). img: [H,W,3] in [0,1]."""
-    img8 = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    """24-bit BMP writer (gui.cpp:315-355 `saveBMP24`).
+    img: [H,W,3] float in [0,1] or uint8 in [0,255]."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img8 = img
+    else:
+        img8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
     h, w = img8.shape[:2]
     bgr = img8[::-1, :, ::-1]  # bottom-up rows, BGR order
     row_size = (w * 3 + 3) & ~3

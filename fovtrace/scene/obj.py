@@ -58,9 +58,19 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray],
     normals independently; GPUs and our flat Scene don't).
     """
     try:
-        from fovtrace.native import bindings as _native
-        if _native.available() and os.path.getsize(path) > 1 << 20:
-            return _native.load_obj(path)
+        from fovtrace import native as _native
+
+        # The native parser handles geometry only; files with material
+        # groups (usemtl) need the python loader's per-face materials.
+        if _native.available():
+            with open(path, "rb") as f:
+                head = f.read()
+            if b"usemtl" not in head:
+                out = _native.load_obj_native(path)
+                if out is not None:
+                    pos, tris, normals, uvs = out
+                    return (pos, tris, normals, uvs,
+                            np.zeros((tris.shape[0],), np.int32), {})
     except Exception:
         pass
     return _load_obj_py(path)

@@ -155,6 +155,18 @@ class Scene:
     bvh_leaf: Optional[jnp.ndarray] = None        # [Nn] i32
     bvh_max_stack: int = struct.field(pytree_node=False, default=0)
 
+    # Pallas intersection pack (None until with_pack(); see
+    # fovtrace.kernels.pallas_isect — MXU determinant coefficients,
+    # occlusion aux rows, cluster AABBs)
+    isect_coef: Optional[jnp.ndarray] = None      # [16, 4*T_pad]
+    isect_aux: Optional[jnp.ndarray] = None       # [8, T_pad]
+    cluster_aabb: Optional[jnp.ndarray] = None    # [C, 8]
+
+    # packed per-triangle shading attributes [T, 24]: n0 n1 n2 (9), gn
+    # (3), uv0 uv1 uv2 (6), mat_id (1), pad — ONE row gather replaces ~10
+    # scattered gathers in hit_surface (XLA gathers are slow on TPU)
+    tri_attr: Optional[jnp.ndarray] = None
+
     @property
     def has_bvh(self) -> bool:
         return self.bvh_nodes_min is not None
@@ -185,7 +197,29 @@ class Scene:
             bvh_right=j(flat.nodes_right),
             bvh_leaf=j(flat.nodes_leaf),
             bvh_max_stack=int(flat.max_depth + 2),
+        ).with_pack()
+
+    def with_pack(self) -> "Scene":
+        """Precompute the Pallas intersection pack (MXU determinant
+        coefficients + cluster AABBs) and the packed shading-attribute
+        rows. Cheapest when triangles are already in BVH leaf order
+        (with_bvh calls this automatically)."""
+        from fovtrace.kernels import pallas_isect
+
+        coef, aux, clusters = pallas_isect.compute_pack(self)
+
+        gn = jnp.cross(self.e1, self.e2)
+        gn = gn / jnp.maximum(
+            jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
+        attr = jnp.concatenate(
+            [self.n0, self.n1, self.n2, gn,
+             self.uv0, self.uv1, self.uv2,
+             self.mat_id[:, None].astype(jnp.float32),
+             jnp.zeros((self.num_triangles, 5), jnp.float32)],
+            axis=1,
         )
+        return self.replace(isect_coef=coef, isect_aux=aux,
+                            cluster_aabb=clusters, tri_attr=attr)
 
     @property
     def num_triangles(self) -> int:

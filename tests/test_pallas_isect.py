@@ -1,0 +1,80 @@
+"""Pallas cluster-intersection kernel vs brute force (interpret mode on
+CPU; the same kernel compiles on TPU). SURVEY.md §4: every kernel gets a
+reference-implementation parity test."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fovtrace import Camera
+from fovtrace.kernels import intersect as isect
+from fovtrace.kernels import pallas_isect
+from fovtrace.scene import procedural
+
+
+@pytest.mark.parametrize("scene_name", ["box", "earth", "multi"])
+def test_closest_hit_matches_brute(scene_name):
+    scene = procedural.SCENES[scene_name]()
+    cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
+    ro, rd = cam.primary_rays(32, 32)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    hb = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
+    hp = pallas_isect.intersect_pallas(scene, ro, rd, 1e-3, isect.BIG_T)
+    np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hp.tri))
+    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
+                               rtol=1e-4, atol=1e-5)
+    hit = np.asarray(hb.tri) >= 0
+    np.testing.assert_allclose(np.asarray(hb.u)[hit], np.asarray(hp.u)[hit],
+                               rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("scene_name", ["box", "earth"])
+def test_occlusion_matches_brute(scene_name):
+    scene = procedural.SCENES[scene_name]()
+    cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
+    ro, rd = cam.primary_rays(16, 16)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+    hit = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
+    surf = isect.hit_surface(scene, ro, rd, hit)
+    light = scene.light
+    lp = light.corner + 0.3 * light.v1 + 0.6 * light.v2
+    to_l = lp - surf["point"]
+    ld = jnp.linalg.norm(to_l, axis=-1)
+    l = to_l / ld[:, None]
+    o = surf["point"] + surf["gnormal"] * 1e-3
+    ab = isect.occlusion_brute(scene, o, l, 1e-3, ld - 1e-3)
+    ap = pallas_isect.occlusion_pallas(scene, o, l, 1e-3, ld - 1e-3)
+    np.testing.assert_allclose(np.asarray(ab), np.asarray(ap),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pack_shapes():
+    scene = procedural.SCENES["earth"]()
+    assert scene.isect_coef is not None, "with_bvh should precompute the pack"
+    coef, aux, cl = scene.isect_coef, scene.isect_aux, scene.cluster_aabb
+    assert coef.shape[0] == 16
+    t_pad = coef.shape[1] // 4
+    c = t_pad // cl.shape[0]          # adaptive cluster width
+    assert c % pallas_isect.CLUSTER == 0
+    assert cl.shape[0] <= pallas_isect.MAX_CLUSTERS
+    assert aux.shape == (8, t_pad)
+    assert cl.shape == (t_pad // c, 8)
+    # cluster AABBs contain their (valid) triangles
+    valid = np.asarray(scene.mat_id) >= 0
+    v0 = np.asarray(scene.v0)[valid]
+    assert (v0.min(0) >= np.asarray(cl[:, 0:3]).min(0) - 1e-5).all()
+    assert (v0.max(0) <= np.asarray(cl[:, 3:6]).max(0) + 1e-5).all()
+
+
+def test_ragged_ray_count():
+    """N not a multiple of RAY_BLOCK pads/unpads correctly."""
+    scene = procedural.SCENES["box"]()
+    cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
+    ro, rd = cam.primary_rays(16, 16)
+    ro = ro.reshape(-1, 3)[:100]
+    rd = rd.reshape(-1, 3)[:100]
+    hb = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
+    hp = pallas_isect.intersect_pallas(scene, ro, rd, 1e-3, isect.BIG_T)
+    np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hp.tri))
