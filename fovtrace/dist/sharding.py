@@ -166,6 +166,7 @@ def render_sharded(scene, camera, gaze_px, frame, config: RenderConfig,
         mesh=mesh,
         in_specs=(P(), P(), P(), P()),
         out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        check_vma=False,  # pallas_call outputs carry no vma annotations
     )
     def tile_body(scene_, camera_, gaze_, frame_):
         tile = jax.lax.axis_index(AXIS)

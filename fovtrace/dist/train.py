@@ -94,6 +94,7 @@ def make_train_step(scene, camera: Camera, config: RenderConfig, mesh: Mesh,
             mesh=mesh,
             in_specs=(P(), P(shd.AXIS), P()),
             out_specs=P(),
+            check_vma=False,  # pallas_call outputs carry no vma annotations
         )
         def sharded_loss(p, tgt_rows, fr):
             tile = jax.lax.axis_index(shd.AXIS)

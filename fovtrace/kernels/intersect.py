@@ -280,12 +280,12 @@ def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
 
 def _pick_backend(scene, backend: str) -> str:
     """auto: the Pallas cluster kernel on TPU (pallas_isect — the fast
-    path), packet BVH or brute force elsewhere."""
+    path); brute force elsewhere (carry-free, so it stays valid under
+    grad-of-shard_map, which the packet-BVH while_loop does not — the
+    'bvh' backend remains available explicitly)."""
     if backend != "auto":
         return backend
-    if jax.default_backend() == "tpu":
-        return "pallas"
-    return "bvh" if scene.has_bvh else "brute"
+    return "pallas" if jax.default_backend() == "tpu" else "brute"
 
 
 def intersect(scene, ro, rd, t_min, t_max, backend: str = "auto",

@@ -73,11 +73,15 @@ def masked_sampling(height: int, width: int, gaze_dist, saliency,
     r1 = r0 * 1.5
     r2 = r0 * 2.0
 
-    ys = jnp.arange(height)[:, None] % 4
-    xs = jnp.arange(width)[None, :] % 4
-    m25 = MASK_25[xs, ys]
-    m50 = MASK_50[xs, ys]
-    m75 = MASK_75[xs, ys]
+    # static dither patterns, tiled in numpy at trace time (a runtime
+    # [H,W] gather from the 4x4 tables is scalar-unit-bound on TPU)
+    import numpy as _np
+
+    ys = _np.arange(height)[:, None] % 4
+    xs = _np.arange(width)[None, :] % 4
+    m25 = jnp.asarray(_np.asarray(MASK_25)[xs, ys])
+    m50 = jnp.asarray(_np.asarray(MASK_50)[xs, ys])
+    m75 = jnp.asarray(_np.asarray(MASK_75)[xs, ys])
 
     sample = jnp.where(
         gaze_dist < r0,
