@@ -74,18 +74,20 @@ def load_scene(name: str):
     if name in procedural.SCENES:
         return procedural.SCENES[name]()
     if os.path.exists(name) and name.endswith(".obj"):
-        from fovtrace.scene import obj as obj_mod
-        from fovtrace.scene import scene as scene_mod
+        # full OBJ+MTL pipeline: per-face materials + map_Kd textures
+        # (reference load_obj, PathTracer.cpp:676-772)
+        from fovtrace.scene import assets
 
-        verts, tris, normals, uvs, mats = obj_mod.load_obj(name)
-        materials = scene_mod.Materials.create(
-            kinds=[scene_mod.MATL_DIFFUSE], kds=[[0.7, 0.7, 0.7]]
-        )
-        sc = scene_mod.Scene.build(verts, tris, np.zeros(len(tris), np.int32),
-                                   materials, normals=normals, uvs=uvs)
-        return sc.with_bvh()
+        return assets.scene_from_obj(name)
+    if os.path.exists(name) and name.endswith(".json"):
+        # multi-model scene spec (reference init_geometry's 5-model
+        # composition, PathTracer.cpp:582-595)
+        from fovtrace.scene import assets
+
+        return assets.scene_from_spec(name)
     raise SystemExit(
-        f"unknown scene {name!r}; procedural: {sorted(procedural.SCENES)}"
+        f"unknown scene {name!r}; procedural: {sorted(procedural.SCENES)}, "
+        f"or a path to .obj / scene-spec .json"
     )
 
 

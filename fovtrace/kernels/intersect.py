@@ -417,9 +417,9 @@ def hit_surface(scene, ro, rd, hit: Hit):
         scene.textures.shape[1],
         scene.textures.shape[2],
     )
-    # skip the texel gather for the 1x8x8 placeholder atlas (no scene
+    # skip the texel gather for the 1x1x1 placeholder atlas (no scene
     # textures) — statically decidable from the atlas shape
-    if ntex > 1 or th * tw > 64:
+    if ntex > 1 or th * tw > 1:
         tx = jnp.clip((uv[:, 0] % 1.0) * tw, 0, tw - 1).astype(jnp.int32)
         ty = jnp.clip((uv[:, 1] % 1.0) * th, 0, th - 1).astype(jnp.int32)
         texel = scene.textures[jnp.clip(tex_id, 0, ntex - 1), ty, tx]

@@ -28,21 +28,28 @@ from fovtrace.core import mathx
 from fovtrace.kernels import intersect as isect
 
 
-@functools.lru_cache(maxsize=8)
-def _swizzle(height: int, width: int, tile: int = 16):
-    """(perm, inv_perm) mapping scanline order <-> 2D-tile order. Tile
+def _can_swizzle(height: int, width: int, tile: int = 16) -> bool:
+    return height % tile == 0 and width % tile == 0
+
+
+def swizzle_to_tiles(x, height: int, width: int, tile: int = 16):
+    """Scanline-flat [H*W, C?] -> tile-major flat, as reshape+transpose
+    (a regular permutation — far cheaper on TPU than a gather). Tile
     order makes each 256-ray kernel block a compact screen tile, so the
     intersection kernel's bundle frustums are tight (better cluster
     culling)."""
-    if height % tile or width % tile:
-        return None
-    from fovtrace.kernels.pallas_isect import tile_swizzle_indices
+    ch = x.shape[1:]
+    x = x.reshape((height // tile, tile, width // tile, tile) + ch)
+    x = x.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(ch))))
+    return x.reshape((height * width,) + ch)
 
-    # numpy only: jnp constants created here would leak tracers when the
-    # cache is filled inside one jit trace and read inside another
-    perm = tile_swizzle_indices(height, width, tile)
-    inv = np.argsort(perm).astype(np.int32)
-    return perm, inv
+
+def unswizzle_from_tiles(x, height: int, width: int, tile: int = 16):
+    """Inverse of swizzle_to_tiles."""
+    ch = x.shape[1:]
+    x = x.reshape((height // tile, width // tile, tile, tile) + ch)
+    x = x.transpose((0, 2, 1, 3) + tuple(range(4, 4 + len(ch))))
+    return x.reshape((height * width,) + ch)
 
 
 def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
@@ -51,11 +58,10 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
     ro_f = ro.reshape(-1, 3)
     rd_f = rd.reshape(-1, 3)
 
-    sw = _swizzle(height, width)
-    if sw is not None:
-        perm, _ = sw
-        ro_f = ro_f[perm]
-        rd_f = rd_f[perm]
+    sw = _can_swizzle(height, width)
+    if sw:
+        ro_f = swizzle_to_tiles(ro_f, height, width)
+        rd_f = swizzle_to_tiles(rd_f, height, width)
 
     hit = isect.intersect(scene, ro_f, rd_f, config.scene_epsilon,
                                 isect.BIG_T)
@@ -92,9 +98,8 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
     reproject = prev_camera.world_to_screen(point, width, height)
     reproject = jnp.where(valid[:, None], reproject, -1.0)
 
-    if sw is not None:
-        _, inv = sw
-        unsw = lambda a: a[inv]
+    if sw:
+        unsw = lambda a: unswizzle_from_tiles(a, height, width)
         point, gnormal, shadow_term, depth, albedo, reproject, valid = (
             unsw(point), unsw(gnormal), unsw(shadow_term), unsw(depth),
             unsw(albedo), unsw(reproject), unsw(valid),

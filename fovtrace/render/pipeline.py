@@ -172,8 +172,11 @@ def render_frame(
 
     recon = config.reconstruction
     if recon != "none":
-        coord, jfa_color = jfa.jump_flood(shading)
-        outputs["jfa"] = jfa_color
+        # lazy: JFA feeds only the jfa/sibson reconstructors — don't pay
+        # its ~40ms when the selected output is pullpush/atrous
+        if recon in ("jfa", "sibson", "all"):
+            coord, jfa_color = jfa.jump_flood(shading)
+            outputs["jfa"] = jfa_color
         if recon in ("sibson", "all"):
             outputs["sibson"] = sibson.sibson_interpolate(
                 coord, jfa_color, config.sibson_max_radius

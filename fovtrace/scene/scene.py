@@ -282,7 +282,9 @@ class Scene:
         if envmap is None:
             envmap = np.zeros((8, 16, 3), np.float32)
         if textures is None:
-            textures = np.ones((1, 8, 8, 3), np.float32)
+            # 1x1 placeholder: statically distinguishable from any real
+            # texture atlas (hit_surface skips the texel gather for it)
+            textures = np.ones((1, 1, 1, 3), np.float32)
         if light is None:
             light = ParallelogramLight.default()
 
