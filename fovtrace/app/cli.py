@@ -192,6 +192,15 @@ def main(argv=None) -> int:
             out = render(scene, cam, jnp.asarray(gaze), f)
             jax.block_until_ready(out["image"])
             new_state = state
+        elif args.profile_stages:
+            # per-stage timing columns (GB, Sampling, Optimize, Shading,
+            # JFA, SI, PPI, AT) in the CSV — reference report format
+            # (REF/main.cpp:260-374)
+            from fovtrace.render import staged
+
+            out, new_state = staged.render_frame_staged(
+                scene, cam, g, state, config, timer)
+            jax.block_until_ready(out["image"])
         else:
             out, new_state = pipeline.render_frame_jit(scene, cam, g, state,
                                                        config)
@@ -202,6 +211,7 @@ def main(argv=None) -> int:
         timer.add("frame_ms", frame_ms)
         timer.end_frame(extra={
             "frame": float(f),
+            "Total": frame_ms,
             "fps": 1000.0 / max(frame_ms, 1e-6),
             "aperture": args.aperture,
             "ray_count": float(rays),

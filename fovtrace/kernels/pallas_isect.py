@@ -8,11 +8,12 @@ the problem onto the MXU + VPU instead:
   clustering  triangles are sorted into CLUSTERS of 128 (contiguous
               blocks in BVH leaf order -> spatially coherent) with
               precomputed AABBs; every shape is static.
-  culling     each ray block (256 rays) sweeps the cluster list; a
-              vectorized slab test + `any` reduction decides whether ANY
-              ray can hit the cluster and `lax.cond` SKIPS the whole
-              tile when none can (predicated execution — the TPU analog
-              of packet traversal).
+  culling     per 256-ray block, an interval-arithmetic bundle-vs-AABB
+              test (XLA side) builds a front-to-back schedule of LIVE
+              clusters; the kernel loops over exactly that many clusters
+              (a `while_loop`, not a grid axis — dead pairs cost zero)
+              and breaks early once the conservative cluster entry-t
+              exceeds every ray's running best hit.
   MXU         Moller-Trumbore is reformulated as determinants linear in
               the 10-dim ray feature f = [o, d, o x d, 1] (Cramer /
               Plucker form):
@@ -20,14 +21,20 @@ the problem onto the MXU + VPU instead:
                   t*det = f . [n,    0,      0,  -v0.n  ]
                   u*det = f . [0,  v0 x e2,  e2, 0      ]
                   v*det = f . [0,  e1 x v0, -e1, 0      ]
-              so one [256,16] x [16, 4*128] f32 matmul per live cluster
+              so one [256,16] x [16, 4*128] matmul per live cluster
               produces all four quantities for 128 triangles — the FLOPs
               ride the systolic array instead of the VPU, leaving only a
               ~12-op elementwise epilogue (divide, compares, argmin).
 
-Outputs feed `intersect.refine_hit`, which recomputes (t,u,v) for the
-winning triangle differentiably — the kernel itself runs under
-stop_gradient (SURVEY.md §7 hard part #3).
+The matmul runs as an error-compensated bf16 SPLIT by default
+(`MATMUL_MODE = "bf16x3"`): x = hi + lo in bf16, res = hi@Chi + hi@Clo +
+lo@Chi — 3 MXU passes with ~2^-16 relative error, vs 6 passes for
+Mosaic's f32-HIGHEST (2x faster, same winner ids on all test scenes) and
+1 pass for raw bf16 (3x faster still, but its 2^-8 error visibly flips
+hits to misses along quad diagonals — cracks). The kernel only has to
+get the winning triangle ID right: `intersect.refine_hit` recomputes
+(t,u,v) for that triangle in f32, differentiably (the kernel runs under
+stop_gradient; SURVEY.md §7 hard part #3).
 """
 
 from __future__ import annotations
@@ -47,6 +54,45 @@ CLUSTER = 128      # minimum triangles per cluster (lane width)
 MAX_CLUSTERS = 24  # cap on clusters/scene so the schedule fits SMEM (1MB)
 RAY_BLOCK = 256    # rays per program
 
+# Cramer-matmul precision: "bf16x3" (3-pass compensated split, ~f32
+# accurate, the default), "bf16" (1 pass, fastest, cracks along quad
+# diagonals), "f32" (Mosaic HIGHEST, 6 passes, exact).
+MATMUL_MODE = "bf16x3"
+
+_DN = dict(dimension_numbers=(((1,), (0,)), ((), ())),
+           preferred_element_type=jnp.float32)
+
+
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _ray_parts(fr):
+    """Per-block hoisted matmul operands for the current MATMUL_MODE."""
+    if MATMUL_MODE == "f32":
+        return (fr,)
+    if MATMUL_MODE == "bf16":
+        return (fr.astype(jnp.bfloat16),)
+    return _split_bf16(fr)
+
+
+def _mt_matmul(parts, cb):
+    """[R,16] x [16,4c] under the selected precision mode; f32 result."""
+    if MATMUL_MODE == "f32":
+        return jax.lax.dot_general(
+            parts[0], cb, precision=jax.lax.Precision.HIGHEST, **_DN)
+    if MATMUL_MODE == "bf16":
+        return jax.lax.dot_general(parts[0], cb.astype(jnp.bfloat16), **_DN)
+    fhi, flo = parts
+    chi, clo = _split_bf16(cb)
+    return (
+        jax.lax.dot_general(fhi, chi, **_DN)
+        + jax.lax.dot_general(fhi, clo, **_DN)
+        + jax.lax.dot_general(flo, chi, **_DN)
+    )
+
 
 def pick_cluster(t_pad_min: int) -> int:
     """Cluster width for a scene of ~t triangles: smallest power-of-two
@@ -57,11 +103,6 @@ def pick_cluster(t_pad_min: int) -> int:
     while (t_pad_min + c - 1) // c > MAX_CLUSTERS:
         c *= 2
     return c
-_MM = dict(
-    dimension_numbers=(((1,), (0,)), ((), ())),
-    preferred_element_type=jnp.float32,
-    precision=jax.lax.Precision.HIGHEST,   # true f32 on the MXU
-)
 
 
 def _interpret() -> bool:
@@ -71,12 +112,15 @@ def _interpret() -> bool:
 
 # ----------------------------------------------------------------- packing
 def compute_pack(scene):
-    """(coef [16, 4*T_pad], aux [8, T_pad], clusters [NC, 8]).
+    """(coef [NC, 16, 4c], aux [NC, 8, c], clusters [NC, 8]).
 
-    coef column layout per cluster j: [t_num | det | u_num | v_num],
-    each CLUSTER wide. Padding triangles have all-zero coefficients ->
-    det = 0 -> never hit. aux rows: transparent, shadow_att rgb,
-    1/|e1 x e2| (for |cos| = |det|/|n| in the occlusion fresnel).
+    coef column layout per cluster: [t_num | det | u_num | v_num], each c
+    wide. The cluster axis LEADS so the kernel selects a cluster with a
+    plain dynamic index on a non-tiled dim (free address arithmetic) —
+    dynamic slicing along the lane dim is what Mosaic charges for.
+    Padding triangles have all-zero coefficients -> det = 0 -> never hit.
+    aux rows: transparent, shadow_att rgb, 1/|e1 x e2| (for
+    |cos| = |det|/|n| in the occlusion fresnel).
     """
     from fovtrace.scene.scene import MATL_REFRACTION
 
@@ -94,7 +138,6 @@ def compute_pack(scene):
     e1xv0 = jnp.cross(e1, v0)
     v0n = jnp.sum(v0 * n, axis=-1)
 
-    # [16, T_pad, 4] then interleave to [16, NC * 4 * c]
     coef = jnp.zeros((16, t_pad, 4), jnp.float32)
     coef = coef.at[0:3, :, 0].set(n.T)          # t_num: o-part
     coef = coef.at[9, :, 0].set(-v0n)           # t_num: const
@@ -105,8 +148,8 @@ def compute_pack(scene):
     coef = coef.at[6:9, :, 3].set(-e1.T)        # v_num: w-part
     coef = (
         coef.reshape(16, nc, c, 4)
-        .transpose(0, 1, 3, 2)                  # [16, NC, 4, c]
-        .reshape(16, t_pad * 4)
+        .transpose(1, 0, 3, 2)                  # [NC, 16, 4, c]
+        .reshape(nc, 16, 4 * c)
     )
 
     mats = scene.materials
@@ -123,6 +166,7 @@ def compute_pack(scene):
         .at[1].set(sa[:, 0]).at[2].set(sa[:, 1]).at[3].set(sa[:, 2])
         .at[4].set(inv_n)
     )
+    aux = aux.reshape(8, nc, c).transpose(1, 0, 2)   # [NC, 8, c]
 
     # cluster AABBs (padding triangles excluded via degenerate test)
     v0c = v0.reshape(nc, c, 3)
@@ -191,8 +235,7 @@ def block_liveness(rays: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     unbounded component (no constraint). If max_k(entry lower bound) >
     min_k(exit upper bound), NO ray in the bundle can hit — a valid
     conservative cull. Computed densely in XLA (NB*NC is tiny); the
-    result drives the Pallas block-sparse grid so dead (block, cluster)
-    steps are true no-ops.
+    result drives the kernel's per-block live-cluster schedule.
     """
     nb = rays.shape[0] // RAY_BLOCK
     rb = rays.reshape(nb, RAY_BLOCK, 16)
@@ -231,33 +274,55 @@ def block_liveness(rays: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     return (tenter <= texit) & nonempty, tenter
 
 
-def cluster_schedule(rays: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
-    """Flat [NB * NC] i32 cluster schedule for scalar prefetch.
+def cluster_schedule(rays: jnp.ndarray, clusters: jnp.ndarray):
+    """(sched [NB*NC+1] i32, counts [NB] i32).
 
     Per ray block: live clusters sorted FRONT-TO-BACK by conservative
-    entry-t (so the kernel's running best-t early-out can skip occluded
-    clusters), dead clusters compacted to the tail as -1 (no-op steps).
-    1-D because SMEM pads the last axis of 2-D scalar arrays to 128
-    lanes.
+    entry-t, dead clusters compacted to the tail. `counts[i]` bounds the
+    kernel's inner while_loop, so dead (block, cluster) pairs cost
+    NOTHING.
+
+    Each entry packs (tenter, cluster id) into ONE i32 — SMEM is the
+    scarce resource (~1MB) and two separate arrays overflow it at 1080p:
+      enc = (quantized_tenter << 8) | jc
+    so the kernel can BREAK once the next cluster starts beyond every
+    ray's running best hit (front-to-back order makes the first such
+    cluster final). The quantization floors tenter (conservative: never
+    skips a cluster that could hold a closer hit). Requires NC <= 256
+    (MAX_CLUSTERS enforces far less). Returns a third element, params
+    [2] f32 = (key scale, t_cap), prefetched so the kernel can convert
+    its f32 bound into key space. +1 trailing pad: the loop's exit check
+    reads index i*NC+count. 1-D because SMEM pads the last axis of 2-D
+    scalar arrays to 128 lanes.
     """
     live, tenter = block_liveness(rays, clusters)
     key = jnp.where(live, tenter, jnp.float32(BIG_T))
     order = jnp.argsort(key, axis=1).astype(jnp.int32)      # [NB, NC]
-    live_sorted = jnp.take_along_axis(live, order, axis=1)
-    sched = jnp.where(live_sorted, order, -1)
-    return sched.reshape(-1)
+    tent_sorted = jnp.take_along_axis(key, order, axis=1)
+
+    # quantized tenter key (Mosaic has no scalar f32<->i32 bitcast):
+    # scale maps [0, t_cap] onto [0, 2^23); floor() makes the stored key
+    # a LOWER bound of the true tenter, the kernel adds +2 on the bound
+    # side to absorb its own f32 rounding — so a break strictly implies
+    # tenter > bound.
+    nonempty = jnp.all(clusters[:, 0:3] <= clusters[:, 3:6], axis=-1)
+    big = jnp.float32(BIG_T)
+    glo = jnp.min(jnp.where(nonempty[:, None], clusters[:, 0:3], big), axis=0)
+    ghi = jnp.max(jnp.where(nonempty[:, None], clusters[:, 3:6], -big), axis=0)
+    t_cap = 2.0 * jnp.linalg.norm(jnp.maximum(ghi - glo, 0.0)) + 1.0
+    scale = (jnp.float32(_KEY_MAX) - 4.0) / t_cap
+    tkey = jnp.clip(jnp.clip(tent_sorted, 0.0, t_cap) * scale,
+                    0.0, float(_KEY_MAX)).astype(jnp.int32)
+    enc = tkey * 256 + order                               # (key<<8) | jc
+    counts = jnp.sum(live, axis=1).astype(jnp.int32)
+    sched = jnp.concatenate([enc.reshape(-1),
+                             jnp.full((1,), _KEY_MAX * 256, jnp.int32)])
+    return sched, counts, jnp.stack([scale, t_cap])
 
 
-def _mt_from_matmul(f, coef_ref, j, tmin, tmax, c: int):
-    """One MXU matmul -> (t, inv_det, u_num, v_num, ok, det) [R, CLUSTER]
-    for cluster j. Sign-test formulation keeps the epilogue lean:
-    u >= 0        <=>  u_num * det >= 0
-    v >= 0        <=>  v_num * det >= 0
-    u + v <= 1    <=>  (u_num + v_num) * det <= det^2
-    """
-    c4 = 4 * c
-    cb = coef_ref[:, pl.ds(pl.multiple_of(j * c4, c4), c4)]   # [16, 4c]
-    res = jax.lax.dot_general(f, cb, **_MM)                   # [R, 4c]
+def _mt_epilogue(res, tmin, tmax, c: int):
+    """Shared hit test on the matmul result [R, 4c] ->
+    (t [R,c] masked with BIG_T on miss, hit [R,c], det [R,c])."""
     t_num = res[:, 0 * c:1 * c]
     det = res[:, 1 * c:2 * c]
     u_num = res[:, 2 * c:3 * c]
@@ -272,113 +337,121 @@ def _mt_from_matmul(f, coef_ref, j, tmin, tmax, c: int):
     inv_det = 1.0 / jnp.where(jnp.abs(det) > DET_EPS, det, 1.0)
     t = t_num * inv_det
     ok = ok & (t > tmin) & (t < tmax)
-    return t, inv_det, u_num, v_num, ok, det
+    return jnp.where(ok, t, BIG_T), ok, det
 
 
 # ------------------------------------------------------------ closest hit
-def _ray_slab(rays_ref, cb_ref, jc, upper):
-    """Per-ray slab test of the block against cluster jc (bounds from the
-    prefetched flat [NC*8] SMEM array). Returns scalar: any ray enters
-    before `upper` (its per-ray running closest hit)."""
-    ox = rays_ref[:, 0:1]
-    oy = rays_ref[:, 1:2]
-    oz = rays_ref[:, 2:3]
-    ix = rays_ref[:, 12:13]
-    iy = rays_ref[:, 13:14]
-    iz = rays_ref[:, 14:15]
-    tmin = rays_ref[:, 10:11]
-    base = jc * 8
-    lox = (cb_ref[base + 0] - ox) * ix
-    hix = (cb_ref[base + 3] - ox) * ix
-    loy = (cb_ref[base + 1] - oy) * iy
-    hiy = (cb_ref[base + 4] - oy) * iy
-    loz = (cb_ref[base + 2] - oz) * iz
-    hiz = (cb_ref[base + 5] - oz) * iz
-    tenter = jnp.maximum(
-        jnp.maximum(jnp.minimum(lox, hix), jnp.minimum(loy, hiy)),
-        jnp.maximum(jnp.minimum(loz, hiz), tmin),
-    )
-    texit = jnp.minimum(
-        jnp.minimum(jnp.maximum(lox, hix), jnp.maximum(loy, hiy)),
-        jnp.minimum(jnp.maximum(loz, hiz), upper),
-    )
-    return jnp.any(tenter <= texit)
+_KEY_MAX = (1 << 23) - 1
 
 
-def _closest_kernel(sched_ref, cb_ref, rays_ref, coef_ref,
-                    t_out, idx_out, uv_out, *, nc: int, c: int):
+def _bound_key(bound_f32, scale, t_cap):
+    """f32 bound -> quantized i32 key, +2 so rounding in this f32 mul can
+    never make the kernel break while the true tenter <= bound. Negative
+    bounds (dead blocks use tmax = -1) clamp to key 2, below every live
+    tenter key+2... and end the loop after at most a couple of no-hit
+    iterations."""
+    q = jnp.clip(bound_f32, 0.0, t_cap) * scale
+    return q.astype(jnp.int32) + 2
+
+
+def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
+                    t_out, idx_out, *, nc: int, c: int):
     i = pl.program_id(0)
-    j = pl.program_id(1)
     r = rays_ref.shape[0]
 
-    @pl.when(j == 0)
-    def _init():
-        t_out[:] = jnp.full((r, 1), BIG_T, jnp.float32)
-        idx_out[:] = jnp.full((r, 1), -1, jnp.int32)
-        uv_out[:] = jnp.zeros((r, 2), jnp.float32)
+    t_out[:] = jnp.full((r, 1), BIG_T, jnp.float32)
+    idx_out[:] = jnp.full((r, 1), -1, jnp.int32)
 
-    jc = sched_ref[i * nc + j]
+    # hoisted per-block invariants
+    parts = _ray_parts(rays_ref[:])                 # one convert per block
+    tmin = rays_ref[:, 10:11]
+    tmax = rays_ref[:, 11:12]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+    count = counts_ref[i]
+    scale = params_ref[0]
+    t_cap = params_ref[1]
+    tmax_blk = jnp.max(rays_ref[:, 11])             # scalar upper bound
 
-    @pl.when(jc >= 0)
-    def _test():
-        # tight per-ray cull incl. early-out against the running best
-        # (clusters arrive front-to-back, so this skips occluded ones)
+    def cond(carry):
+        l, bound_key = carry
+        # front-to-back: once a cluster starts beyond every ray's best
+        # hit (or every tmax), no later cluster can improve anything
+        tent_key = sched_ref[i * nc + l] // 256
+        return (l < count) & (tent_key <= bound_key)
+
+    def body(carry):
+        l, bound_key = carry
+        jc = sched_ref[i * nc + l] % 256
+        res = _mt_matmul(parts, coef_ref[jc])
+        t, _, _ = _mt_epilogue(res, tmin, tmax, c)
         best_t = t_out[:]
-        tmax = rays_ref[:, 11:12]
-        any_live = _ray_slab(rays_ref, cb_ref, jc,
-                             jnp.minimum(tmax, best_t))
+        bt = jnp.min(t, axis=1, keepdims=True)
+        sel = (t <= bt) & (t < BIG_T)
+        li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
+        better = (li < c) & (bt < best_t)
+        gi = jc * c + jnp.minimum(li, c - 1)
+        t_out[:] = jnp.where(better, bt, best_t)
+        idx_out[:] = jnp.where(better, gi, idx_out[:])
+        new_bound = jnp.minimum(jnp.max(t_out[:]), tmax_blk)
+        return l + 1, _bound_key(new_bound, scale, t_cap)
 
-        @pl.when(any_live)
-        def _body():
-            f = rays_ref[:]                               # [R,16]
-            tmin = rays_ref[:, 10:11]
-            t, inv_det, u_num, v_num, ok, _ = _mt_from_matmul(
-                f, coef_ref, jc, tmin, tmax, c)
-            t = jnp.where(ok, t, BIG_T)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
-            bt = jnp.min(t, axis=1, keepdims=True)
-            sel = (t <= bt) & (t < BIG_T)
-            li = jnp.min(jnp.where(sel, lane, c), axis=1,
-                         keepdims=True)
-            picked = li < c
-            li_c = jnp.minimum(li, c - 1)
-            onehot = lane == li_c
-            pick = lambda a: jnp.sum(
-                jnp.where(onehot, a, 0.0), axis=1, keepdims=True)
-            better = picked & (bt < best_t)
-            gi = jc * c + li_c
-            t_out[:] = jnp.where(better, bt, best_t)
-            idx_out[:] = jnp.where(better, gi, idx_out[:])
-            uvw = pick(u_num * inv_det)
-            vvw = pick(v_num * inv_det)
-            uv_out[:] = jnp.where(
-                better, jnp.concatenate([uvw, vvw], axis=1), uv_out[:])
+    jax.lax.while_loop(cond, body,
+                       (0, _bound_key(tmax_blk, scale, t_cap)))
+
+
+# blocks per pallas_call chunk so the prefetched schedule fits SMEM
+# (~1MB): entries*4B <= ~740KB (1080p at RAY_BLOCK=256 -> 180,225
+# entries, verified to compile; two such arrays do not)
+_SMEM_SCHED_ENTRIES = 185_000
+
+
+def _block_chunks(nb: int, nc: int):
+    """Split nb ray blocks into chunks whose [chunk*nc] schedule fits
+    SMEM. Returns the chunk size in blocks."""
+    per = max(1, _SMEM_SCHED_ENTRIES // max(nc, 1))
+    return min(nb, per)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _closest_call(rays, coef, clusters, interpret: bool):
+    sched, counts, params = cluster_schedule(rays, clusters)
+    return _closest_call_pre(rays, coef, sched, counts, params, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _closest_call_pre(rays, coef, sched, counts, params, interpret: bool):
     n_pad = rays.shape[0]
     nb = n_pad // RAY_BLOCK
-    nc = clusters.shape[0]
-    c = coef.shape[1] // (4 * nc)
-    sched = cluster_schedule(rays, clusters)
-    cb_flat = clusters.reshape(-1)
+    nc = coef.shape[0]
+    c = coef.shape[2] // 4
+
+    cb = _block_chunks(nb, nc)
+    if cb < nb:
+        # chunk along ray blocks; schedules are per-block so slices are
+        # self-contained (re-pad each chunk's sched with the +1 sentinel)
+        outs = []
+        sent = jnp.full((1,), _KEY_MAX * 256, jnp.int32)
+        for b0 in range(0, nb, cb):
+            b1 = min(b0 + cb, nb)
+            outs.append(_closest_call_pre(
+                rays[b0 * RAY_BLOCK:b1 * RAY_BLOCK], coef,
+                jnp.concatenate([sched[b0 * nc:b1 * nc], sent]),
+                counts[b0:b1], params, interpret))
+        return [jnp.concatenate([o[k] for o in outs]) for k in range(2)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, nc),
+        num_scalar_prefetch=3,
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 16), lambda i, j, s, cb: (i, 0),
+            pl.BlockSpec((RAY_BLOCK, 16), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, coef.shape[1]), lambda i, j, s, cb: (0, 0),
+            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j, s, cb: (i, 0),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i, j, s, cb: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 2), lambda i, j, s, cb: (i, 0),
+            pl.BlockSpec((RAY_BLOCK, 1), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -388,61 +461,55 @@ def _closest_call(rays, coef, clusters, interpret: bool):
         out_shape=[
             jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n_pad, 2), jnp.float32),
         ],
         interpret=interpret,
-    )(sched, cb_flat, rays, coef)
+    )(counts, sched, params, rays, coef)
 
 
 def intersect_pallas(scene, ro, rd, t_min, t_max) -> Hit:
-    """Closest-hit via the block-sparse MXU cluster kernel."""
+    """Closest-hit via the block-sparse MXU cluster kernel.
+
+    Returns only (t, tri) from the kernel; (u, v) are zeros — callers go
+    through `intersect.refine_hit`, which recomputes t/u/v for the
+    winning triangle in f32 (and differentiably)."""
     rays, n = pack_rays16(ro, rd, t_min, t_max)
     coef, _aux, clusters = scene_pack(scene)
-    t, idx, uv = _closest_call(rays, coef, clusters, _interpret())
-    return Hit(t=t[:n, 0], tri=idx[:n, 0], u=uv[:n, 0], v=uv[:n, 1])
+    t, idx = _closest_call(rays, coef, clusters, _interpret())
+    z = jnp.zeros((n,), jnp.float32)
+    return Hit(t=t[:n, 0], tri=idx[:n, 0], u=z, v=z)
 
 
 # ---------------------------------------------------------------- occlusion
-def _occlusion_kernel(sched_ref, cb_ref, rays_ref, coef_ref, aux_ref,
-                      att_out, *, nc: int, c: int):
+def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
+                      aux_ref, att_out, *, nc: int, c: int):
     i = pl.program_id(0)
-    j = pl.program_id(1)
     r = rays_ref.shape[0]
 
-    @pl.when(j == 0)
-    def _init():
-        att_out[:] = jnp.ones((r, 4), jnp.float32)
+    att_out[:] = jnp.ones((r, 4), jnp.float32)
 
-    jc = sched_ref[i * nc + j]
-
-    @pl.when(jc >= 0)
-    def _test():
-        # any-hit early-out: skip once every ray is fully occluded
-        prev = att_out[:]
-        unoccluded = (prev[:, 0:1] + prev[:, 1:2] + prev[:, 2:3]) > 0.0
-        tmax = rays_ref[:, 11:12]
-        upper = jnp.where(unoccluded, tmax, jnp.float32(-BIG_T))
-        any_live = _ray_slab(rays_ref, cb_ref, jc, upper)
-
-        @pl.when(any_live)
-        def _body():
-            _occlusion_cluster(rays_ref, coef_ref, aux_ref, att_out, jc, c)
-
-
-def _occlusion_cluster(rays_ref, coef_ref, aux_ref, att_out, j, c: int):
-    r = rays_ref.shape[0]
-    f = rays_ref[:]
+    parts = _ray_parts(rays_ref[:])
     tmin = rays_ref[:, 10:11]
     tmax = rays_ref[:, 11:12]
-    t, inv_det, u_num, v_num, hit, det = _mt_from_matmul(
-        f, coef_ref, j, tmin, tmax, c)
-    if True:
-        sl = pl.ds(pl.multiple_of(j * c, c), c)
-        transp = aux_ref[0:1, sl]
-        sar = aux_ref[1:2, sl]
-        sag = aux_ref[2:3, sl]
-        sab = aux_ref[3:4, sl]
-        inv_n = aux_ref[4:5, sl]
+    count = counts_ref[i]
+    tmax_key = _bound_key(jnp.max(rays_ref[:, 11]),
+                          params_ref[0], params_ref[1])
+
+    def cond(carry):
+        l, live = carry
+        tent_key = sched_ref[i * nc + l] // 256
+        return (l < count) & live & (tent_key <= tmax_key)
+
+    def body(carry):
+        l, live = carry
+        jc = sched_ref[i * nc + l] % 256
+        res = _mt_matmul(parts, coef_ref[jc])
+        t, hit, det = _mt_epilogue(res, tmin, tmax, c)
+
+        transp = aux_ref[jc, 0:1, :]
+        sar = aux_ref[jc, 1:2, :]
+        sag = aux_ref[jc, 2:3, :]
+        sab = aux_ref[jc, 3:4, :]
+        inv_n = aux_ref[jc, 4:5, :]
         # |cos(n, d)| = |det| / |n|  (d is unit length)
         ndi = jnp.abs(det) * inv_n
         c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
@@ -470,30 +537,54 @@ def _occlusion_cluster(rays_ref, coef_ref, aux_ref, att_out, j, c: int):
              lane_prod(factor(sab)), jnp.ones((r, 1), jnp.float32)],
             axis=1,
         )
-        att_out[:] = prev * upd
+        new = prev * upd
+        att_out[:] = new
+        # any-hit early-out: stop once every ray is fully occluded
+        live2 = jnp.max(new[:, 0:1] + new[:, 1:2] + new[:, 2:3]) > 0.0
+        return l + 1, live2
+
+    jax.lax.while_loop(cond, body, (0, jnp.bool_(True)))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _occlusion_call(rays, coef, aux, clusters, interpret: bool):
+    sched, counts, params = cluster_schedule(rays, clusters)
+    return _occlusion_call_pre(rays, coef, aux, sched, counts, params,
+                               interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _occlusion_call_pre(rays, coef, aux, sched, counts, params,
+                        interpret: bool):
     n_pad = rays.shape[0]
     nb = n_pad // RAY_BLOCK
-    nc = clusters.shape[0]
-    c = coef.shape[1] // (4 * nc)
-    sched = cluster_schedule(rays, clusters)
-    cb_flat = clusters.reshape(-1)
+    nc = coef.shape[0]
+    c = coef.shape[2] // 4
+
+    cb = _block_chunks(nb, nc)
+    if cb < nb:
+        outs = []
+        sent = jnp.full((1,), _KEY_MAX * 256, jnp.int32)
+        for b0 in range(0, nb, cb):
+            b1 = min(b0 + cb, nb)
+            outs.append(_occlusion_call_pre(
+                rays[b0 * RAY_BLOCK:b1 * RAY_BLOCK], coef, aux,
+                jnp.concatenate([sched[b0 * nc:b1 * nc], sent]),
+                counts[b0:b1], params, interpret))
+        return jnp.concatenate(outs)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, nc),
+        num_scalar_prefetch=3,
+        grid=(nb,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 16), lambda i, j, s, cb: (i, 0),
+            pl.BlockSpec((RAY_BLOCK, 16), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, coef.shape[1]), lambda i, j, s, cb: (0, 0),
+            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, aux.shape[1]), lambda i, j, s, cb: (0, 0),
+            pl.BlockSpec((nc, 8, c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((RAY_BLOCK, 4), lambda i, j, s, cb: (i, 0),
+        out_specs=pl.BlockSpec((RAY_BLOCK, 4), lambda i, n, s, p: (i, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -501,7 +592,7 @@ def _occlusion_call(rays, coef, aux, clusters, interpret: bool):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
         interpret=interpret,
-    )(sched, cb_flat, rays, coef, aux)
+    )(counts, sched, params, rays, coef, aux)
 
 
 def occlusion_pallas(scene, ro, rd, t_min, t_max) -> jnp.ndarray:
@@ -516,8 +607,9 @@ def tile_swizzle_indices(height: int, width: int, tile: int = 16) -> np.ndarray:
     """Permutation mapping tile-major order -> scanline order.
 
     Packing rays in 2D-tile order makes each RAY_BLOCK a compact screen
-    tile (tight frustum), so the slab test culls far more clusters than
-    scanline strips do. Returns idx with: flat_tiled[i] = flat_scan[idx[i]].
+    tile (tight frustum), so the bundle liveness test culls far more
+    clusters than scanline strips do. Returns idx with:
+    flat_tiled[i] = flat_scan[idx[i]].
     """
     assert height % tile == 0 and width % tile == 0
     yy, xx = np.mgrid[0:height, 0:width]

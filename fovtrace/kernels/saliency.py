@@ -68,12 +68,14 @@ def rgby_opponency(rgb):
     return R - G, B - Y, L
 
 
-def depth_saliency(depth, gaze_px, theta):
+def depth_saliency(depth, gaze_px, theta, focal=None):
     """DOF Gaussian around the gaze focal depth
     (shared_helper_funcs.h:93-103). theta scales with scene bbox size
-    (samplingStep.cu:197: |bbox| * 0.005)."""
-    gy, gx = gaze_px
-    focal = depth[gy, gx]
+    (samplingStep.cu:197: |bbox| * 0.005). `focal` overrides the direct
+    gaze-pixel read (sharded tiles that don't own the gaze pixel)."""
+    if focal is None:
+        gy, gx = gaze_px
+        focal = depth[gy, gx]
     dd = depth - focal
     d = 0.4 * theta
     ad = 1.0 * theta
@@ -90,12 +92,18 @@ def velocity_map(velocity):
     return 1.0 / (m * jnp.sqrt(2.0 * jnp.pi)) * jnp.exp(-v / (m * m)) + 1.0
 
 
-def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4):
+def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4,
+                     row_offset=0, focal=None):
     """Full saliency field [H,W] from G-buffers (samplingStep.cu:186-219).
 
     gbuf: dict from trace_gbuffer (albedo, depth, normal, shadow,
     reproject_uv). gaze_px: (gy, gx) int32. bbox_diag: scene bbox diagonal
     length (for the DOF theta).
+
+    Sharded tiles pass `row_offset` (global row index of local row 0 —
+    must be a multiple of `block` for corner-sample alignment) and
+    `focal` (the gaze-pixel depth, owned by one tile; see
+    dist.sharding).
     """
     h, w = gbuf["depth"].shape
 
@@ -124,16 +132,18 @@ def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4):
                                                1e-12, gather(gx)))
 
     theta = bbox_diag * 0.005
-    s_depth = gather(depth_saliency(gbuf["depth"], gaze_px, theta))
+    s_depth = gather(depth_saliency(gbuf["depth"], gaze_px, theta, focal))
     s_shadow = gather(gbuf["shadow"])
 
     ngray = jnp.mean(gbuf["normal"] * 0.5 + 0.5, axis=-1)
     ngx, ngy = sobel(ngray, scale=block)
     s_normal_grad = jnp.sqrt(gather(ngx) ** 2 + gather(ngy) ** 2)
 
-    # velocity from the reprojection offset (samplingStep.cu:201-205)
+    # velocity from the reprojection offset (samplingStep.cu:201-205);
+    # reproject_uv is in GLOBAL pixel coords, so py must be too
     px = jnp.arange(w, dtype=jnp.float32)[None, :]
-    py = jnp.arange(h, dtype=jnp.float32)[:, None]
+    py = (jnp.arange(h, dtype=jnp.float32)
+          + jnp.asarray(row_offset, jnp.float32))[:, None]
     quv = gbuf["reproject_uv"]
     vel = 0.5 * jnp.sqrt((px - quv[..., 0]) ** 2 + (py - quv[..., 1]) ** 2)
     vel = jnp.where((quv[..., 0] < 0.0) & (quv[..., 1] < 0.0), 0.0, vel)

@@ -56,25 +56,18 @@ class FrameState:
         )
 
 
-def render_frame(
-    scene,
-    camera: Camera,
-    gaze_px,
-    state: FrameState,
-    config: RenderConfig,
-) -> Tuple[Dict[str, jnp.ndarray], FrameState]:
-    """Render one frame. gaze_px: (gy, gx) int32 pixel coords.
+def stage_gbuffer(scene, camera, prev_camera, config: RenderConfig):
+    """Stage 1 (reference entry 0 / 'GB')."""
+    return gbuffer_mod.trace_gbuffer(
+        scene, camera, prev_camera, config.width, config.height, config)
 
-    Returns (outputs, new_state). `outputs` mirrors the reference's
-    keys-1..9 texture switchboard (main.cpp:396-409).
-    """
+
+def stage_sampling(scene, gbuf, gaze_px, state, config: RenderConfig):
+    """Stage 2 (reference entry 1 / 'Sampling'): cache validation +
+    saliency + the binary sample mask. Returns
+    (mask, sal, is_valid, q_uv, gaze_target, ray_count)."""
     h, w = config.height, config.width
     n_pix = h * w
-
-    # ---- 1. G-buffer (entry 0) ----------------------------------------
-    gbuf = gbuffer_mod.trace_gbuffer(scene, camera, state.prev_camera, w, h, config)
-
-    # ---- 2. sampling step (entry 1) -----------------------------------
     is_valid, q_uv = reproject.validate_cache(
         gbuf["reproject_uv"], gbuf["position"], state.depth_cache,
         state.prev_camera.eye, w, h, config.cache_epsilon,
@@ -103,13 +96,25 @@ def render_frame(
 
     gaze_target = gbuf["position"][gaze_px[0], gaze_px[1]]
     ray_count = jnp.sum(mask.astype(jnp.int32))
+    return mask, sal, is_valid, q_uv, gaze_target, ray_count
 
-    # ---- 3. compaction (entry 2 / warpSort) ---------------------------
-    idx, active = sampling.compact_rays(mask, config.ray_budget)
+
+def stage_compact(mask, config: RenderConfig):
+    """Stage 3 (reference entry 2 / warpSort / 'Optimize')."""
+    return sampling.compact_rays(mask, config.ray_budget)
+
+
+def stage_shade(scene, camera, idx, active, q_uv, is_valid, state,
+                config: RenderConfig):
+    """Stage 4 (reference entry 3 / 'Shading'): foveated path trace of
+    the compacted wavefront + temporal accumulate. Returns
+    (shading [H,W,4] normalized color, history [H,W,4], traced_mask,
+    rays_traced)."""
+    h, w = config.height, config.width
+    n_pix = h * w
     py = (idx // w).astype(jnp.float32)
     px = (idx % w).astype(jnp.float32)
 
-    # ---- 4. foveated shading (entry 3) --------------------------------
     c_history = reproject.fetch_history(state.history, q_uv, is_valid)
     hist_flat = c_history.reshape(-1, 4)
     hist_rays = hist_flat[idx]
@@ -147,29 +152,15 @@ def render_frame(
     shading = colorx.accumulate_to_color(history)
     # holes: pixels with neither a traced ray nor reusable history
     shading = shading * (history[..., 3:4] > 0.0)
+    return shading, history, traced_mask, shade_aux["rays_traced"]
 
-    # ---- 5. reconstruction (GL post chain) ----------------------------
-    outputs: Dict[str, jnp.ndarray] = {
-        "position": gbuf["position"],
-        "normal": gbuf["normal"],
-        "depth": gbuf["depth"],
-        "albedo": gbuf["albedo"],
-        "weight": jnp.concatenate(
-            [gbuf["reproject_uv"], is_valid[..., None],
-             jnp.zeros((h, w, 1))], axis=-1),
-        "shading": shading,
-        "saliency": sal,
-        "saliency_view": colorx.heatmap(sal),
-        "mask": mask,
-        "traced": traced_mask,
-        "gaze_target": gaze_target,
-        "ray_count": ray_count,
-        # honest device ray work this frame: G-buffer primary + issued
-        # shadow rays, plus every closest-hit/shadow ray of the compacted
-        # wavefront bounces (bench.py's Mrays/s numerator)
-        "rays_traced": gbuf["rays_traced"] + shade_aux["rays_traced"],
-    }
 
+def stage_reconstruct(shading, gbuf, config: RenderConfig
+                      ) -> Dict[str, jnp.ndarray]:
+    """Stage 5 (the reference's GL post chain: JFA -> Sibson; PullPush ->
+    ATrous; selectable alternatives, main.cpp:336-358). Returns the recon
+    buffers plus the selected 'image'."""
+    outputs: Dict[str, jnp.ndarray] = {}
     recon = config.reconstruction
     if recon != "none":
         # lazy: JFA feeds only the jfa/sibson reconstructors — don't pay
@@ -202,6 +193,60 @@ def render_frame(
         outputs["image"] = outputs[final_key][..., :3]
     else:
         outputs["image"] = shading[..., :3]
+    return outputs
+
+
+def render_frame(
+    scene,
+    camera: Camera,
+    gaze_px,
+    state: FrameState,
+    config: RenderConfig,
+) -> Tuple[Dict[str, jnp.ndarray], FrameState]:
+    """Render one frame. gaze_px: (gy, gx) int32 pixel coords.
+
+    Returns (outputs, new_state). `outputs` mirrors the reference's
+    keys-1..9 texture switchboard (main.cpp:396-409).
+    """
+    h, w = config.height, config.width
+
+    # ---- 1. G-buffer (entry 0) ----------------------------------------
+    gbuf = stage_gbuffer(scene, camera, state.prev_camera, config)
+
+    # ---- 2. sampling step (entry 1) -----------------------------------
+    mask, sal, is_valid, q_uv, gaze_target, ray_count = stage_sampling(
+        scene, gbuf, gaze_px, state, config)
+
+    # ---- 3. compaction (entry 2 / warpSort) ---------------------------
+    idx, active = stage_compact(mask, config)
+
+    # ---- 4. foveated shading (entry 3) --------------------------------
+    shading, history, traced_mask, shade_rays = stage_shade(
+        scene, camera, idx, active, q_uv, is_valid, state, config)
+
+    # ---- 5. reconstruction (GL post chain) ----------------------------
+    outputs: Dict[str, jnp.ndarray] = {
+        "position": gbuf["position"],
+        "normal": gbuf["normal"],
+        "depth": gbuf["depth"],
+        "albedo": gbuf["albedo"],
+        "weight": jnp.concatenate(
+            [gbuf["reproject_uv"], is_valid[..., None],
+             jnp.zeros((h, w, 1))], axis=-1),
+        "shading": shading,
+        "saliency": sal,
+        "saliency_view": colorx.heatmap(sal),
+        "mask": mask,
+        "traced": traced_mask,
+        "gaze_target": gaze_target,
+        "ray_count": ray_count,
+        # honest device ray work this frame: G-buffer primary + issued
+        # shadow rays, plus every closest-hit/shadow ray of the compacted
+        # wavefront bounces (bench.py's Mrays/s numerator)
+        "rays_traced": gbuf["rays_traced"] + shade_rays,
+    }
+
+    outputs.update(stage_reconstruct(shading, gbuf, config))
 
     new_state = FrameState(
         history=history,

@@ -158,9 +158,9 @@ class Scene:
     # Pallas intersection pack (None until with_pack(); see
     # fovtrace.kernels.pallas_isect — MXU determinant coefficients,
     # occlusion aux rows, cluster AABBs)
-    isect_coef: Optional[jnp.ndarray] = None      # [16, 4*T_pad]
-    isect_aux: Optional[jnp.ndarray] = None       # [8, T_pad]
-    cluster_aabb: Optional[jnp.ndarray] = None    # [C, 8]
+    isect_coef: Optional[jnp.ndarray] = None      # [NC, 16, 4c]
+    isect_aux: Optional[jnp.ndarray] = None       # [NC, 8, c]
+    cluster_aabb: Optional[jnp.ndarray] = None    # [NC, 8]
 
     # packed per-triangle shading attributes [T, 24]: n0 n1 n2 (9), gn
     # (3), uv0 uv1 uv2 (6), mat_id (1), pad — ONE row gather replaces ~10

@@ -46,7 +46,7 @@ def main():
           f"rays={n} device={jax.devices()[0]}", file=sys.stderr)
     coef, aux, clusters = pallas_isect.scene_pack(scene)
     print(f"[micro] clusters={clusters.shape[0]} width="
-          f"{coef.shape[1] // (4 * clusters.shape[0])}", file=sys.stderr)
+          f"{coef.shape[2] // 4}", file=sys.stderr)
 
     # coherent: primary rays from the bench camera
     cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))

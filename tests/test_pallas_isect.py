@@ -21,11 +21,21 @@ def test_closest_hit_matches_brute(scene_name):
     rd = rd.reshape(-1, 3)
     hb = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
     hp = pallas_isect.intersect_pallas(scene, ro, rd, 1e-3, isect.BIG_T)
-    np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hp.tri))
-    np.testing.assert_allclose(np.asarray(hb.t), np.asarray(hp.t),
-                               rtol=1e-4, atol=1e-5)
-    hit = np.asarray(hb.tri) >= 0
-    np.testing.assert_allclose(np.asarray(hb.u)[hit], np.asarray(hp.u)[hit],
+    tb = np.asarray(hb.tri)
+    tp = np.asarray(hp.tri)
+    # bf16 candidate selection may flip the winner ID exactly on shared
+    # triangle edges — legal iff the refined hit is at the same depth.
+    # hit<->miss flips (silhouette changes) are NOT allowed.
+    assert ((tb >= 0) == (tp >= 0)).all()
+    # kernel t is a bf16-matmul selection value; exact t/u/v come from
+    # refine_hit on the winning id (what intersect() returns)
+    hr = isect.refine_hit(scene, ro, rd, hp)
+    hit = tb >= 0
+    np.testing.assert_allclose(np.asarray(hb.t)[hit], np.asarray(hr.t)[hit],
+                               rtol=1e-3, atol=1e-4)
+    same = hit & (tb == tp)
+    assert same.sum() >= hit.sum() * 0.995, "edge-tie flips must be rare"
+    np.testing.assert_allclose(np.asarray(hb.u)[same], np.asarray(hr.u)[same],
                                rtol=1e-3, atol=1e-4)
 
 
@@ -54,13 +64,13 @@ def test_pack_shapes():
     scene = procedural.SCENES["earth"]()
     assert scene.isect_coef is not None, "with_bvh should precompute the pack"
     coef, aux, cl = scene.isect_coef, scene.isect_aux, scene.cluster_aabb
-    assert coef.shape[0] == 16
-    t_pad = coef.shape[1] // 4
-    c = t_pad // cl.shape[0]          # adaptive cluster width
+    nc = cl.shape[0]
+    assert coef.shape[0] == nc and coef.shape[1] == 16
+    c = coef.shape[2] // 4            # adaptive cluster width
     assert c % pallas_isect.CLUSTER == 0
-    assert cl.shape[0] <= pallas_isect.MAX_CLUSTERS
-    assert aux.shape == (8, t_pad)
-    assert cl.shape == (t_pad // c, 8)
+    assert nc <= pallas_isect.MAX_CLUSTERS
+    assert aux.shape == (nc, 8, c)
+    assert cl.shape == (nc, 8)
     # cluster AABBs contain their (valid) triangles
     valid = np.asarray(scene.mat_id) >= 0
     v0 = np.asarray(scene.v0)[valid]
