@@ -53,15 +53,19 @@ def main():
 
     fwd = jax.jit(lambda s, c, g, st: pipeline.render_frame(s, c, g, st, config))
 
-    def loss_fn(emission, kd, st):
+    def loss_fn(emission, kd, eye, target, st):
+        # full config-5 parameter set: light + materials + CAMERA POSE
+        # (pose gradients flow through ray generation and reprojection —
+        # the expensive backward; BASELINE.md config 5)
         s2 = scene.replace(
             light=scene.light.replace(emission=emission),
             materials=scene.materials.replace(kd=kd),
         )
-        out, _ = pipeline.render_frame(s2, cam, gaze, st, config)
+        c2 = cam.replace(eye=eye, target=target)
+        out, _ = pipeline.render_frame(s2, c2, gaze, st, config)
         return jnp.mean(out["image"])
 
-    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
 
     t0 = time.time()
     out, state = fwd(scene, cam, gaze, state)
@@ -77,12 +81,14 @@ def main():
         label = "fwd"
     else:
         t0 = time.time()
-        g = fwdbwd(scene.light.emission, scene.materials.kd, state)
+        g = fwdbwd(scene.light.emission, scene.materials.kd, cam.eye,
+                   cam.target, state)
         jax.block_until_ready(g)
         print(f"[bench] fwd+bwd compile {time.time()-t0:.1f}s", file=sys.stderr)
 
         def step(st):
-            g = fwdbwd(scene.light.emission, scene.materials.kd, st)
+            g = fwdbwd(scene.light.emission, scene.materials.kd, cam.eye,
+                       cam.target, st)
             return st, g
 
         label = "fwd+bwd"

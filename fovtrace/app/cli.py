@@ -44,6 +44,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--sampling", default="masked",
                    choices=["masked", "weier", "logpolar", "full"])
     p.add_argument("--aperture", type=float, default=0.07)
+    p.add_argument("--dof", action="store_true",
+                   help="thin-lens depth of field with gaze autofocus "
+                        "(createPinHoleCam + main.cpp:278-287)")
+    p.add_argument("--lens-radius", type=float, default=0.05,
+                   help="thin-lens disc radius, world units")
     p.add_argument("--light-power", type=float, default=810.0)
     p.add_argument("--gi-depth", type=int, default=1)
     p.add_argument("--max-depth", type=int, default=4)
@@ -143,6 +148,8 @@ def main(argv=None) -> int:
         ray_budget_frac=1.0 if args.no_optimize else args.ray_budget_frac,
         temporal=not args.no_temporal,
         reconstruction=args.reconstruction,
+        dof=args.dof,
+        lens_radius=args.lens_radius,
     )
     scene = load_scene(args.scene)
     if args.light_power != 810.0:
@@ -168,8 +175,9 @@ def main(argv=None) -> int:
         from fovtrace.dist import sharding as shd
 
         mesh = shd.make_mesh()
-        render = jax.jit(lambda s, c, g, f: shd.render_sharded(
-            s, c, g, f, config, mesh))
+        state = shd.initial_state_sharded(cam, config, mesh)
+        render = jax.jit(lambda s, c, g, st: shd.render_sharded(
+            s, c, g, st, config, mesh))
     else:
         render = None  # use pipeline.render_frame_jit
 
@@ -189,9 +197,8 @@ def main(argv=None) -> int:
 
         t0 = time.perf_counter()
         if args.sharded:
-            out = render(scene, cam, jnp.asarray(gaze), f)
+            out, new_state = render(scene, cam, jnp.asarray(gaze), state)
             jax.block_until_ready(out["image"])
-            new_state = state
         elif args.profile_stages:
             # per-stage timing columns (GB, Sampling, Optimize, Shading,
             # JFA, SI, PPI, AT) in the CSV — reference report format

@@ -44,6 +44,15 @@ class RenderConfig:
 
     # --- ray budget (static compaction size as a fraction of W*H) ---
     ray_budget_frac: float = 0.35
+    # per-tile budget multiplier for the sharded path: each tile gets
+    # sharded_budget_factor x (ray_budget / n_tiles) compaction slots,
+    # because the tile containing the fovea needs more than 1/N
+    sharded_budget_factor: float = 2.0
+
+    # --- thin-lens depth of field (createPinHoleCam,
+    #     shared_helper_funcs.h:302-338; gaze autofocus main.cpp:278-287) ---
+    dof: bool = False
+    lens_radius: float = 0.05       # lens disc radius, world units
 
     # --- temporal ---
     temporal: bool = True

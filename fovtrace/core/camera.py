@@ -19,20 +19,30 @@ from flax import struct
 from fovtrace.core import mathx
 
 
+PM_PERSPECTIVE = "perspective"
+PM_ORTHO = "ortho"                # square extent, aspect-padded
+PM_ORTHO_WIDTH = "ortho_width"    # m_value = world width
+PM_ORTHO_HEIGHT = "ortho_height"  # m_value = world height
+
+
 @struct.dataclass
 class Camera:
     eye: jnp.ndarray        # [3]
     target: jnp.ndarray     # [3]
     up: jnp.ndarray         # [3]
-    fov_y: jnp.ndarray      # scalar, degrees
+    fov_y: jnp.ndarray      # scalar: degrees (perspective) or world
+    #                         extent (ortho modes — REF Camera 'm_value')
     near: jnp.ndarray       # scalar
     far: jnp.ndarray        # scalar
+    # projection mode (Camera.cpp:153-181); static so mvp() stays traceable
+    mode: str = struct.field(pytree_node=False, default=PM_PERSPECTIVE)
 
     @classmethod
-    def create(cls, eye, target, up=(0.0, 1.0, 0.0), fov_y=45.0, near=0.1, far=1000.0):
+    def create(cls, eye, target, up=(0.0, 1.0, 0.0), fov_y=45.0, near=0.1,
+               far=1000.0, mode=PM_PERSPECTIVE):
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)
         return cls(eye=f32(eye), target=f32(target), up=f32(up),
-                   fov_y=f32(fov_y), near=f32(near), far=f32(far))
+                   fov_y=f32(fov_y), near=f32(near), far=f32(far), mode=mode)
 
     # --- matrices -------------------------------------------------------
     def view_matrix(self) -> jnp.ndarray:
@@ -47,10 +57,31 @@ class Camera:
         return m
 
     def proj_matrix(self, aspect) -> jnp.ndarray:
-        """Perspective projection (Camera.cpp:153-161 / glm::perspective)."""
+        """Projection matrix: perspective (glm::perspective) or one of the
+        reference's 3 ortho modes (`getPMat` Camera.cpp:153-181:
+        Ortho_Height = value is world height, Ortho_Width = world width,
+        Ortho = square extent padded along the larger aspect axis)."""
+        n, fr = self.near, self.far
+        if self.mode != PM_PERSPECTIVE:
+            v = self.fov_y * 0.5
+            if self.mode == PM_ORTHO_HEIGHT:
+                y = v
+                x = y * aspect
+            elif self.mode == PM_ORTHO_WIDTH:
+                x = v
+                y = x / aspect
+            else:  # PM_ORTHO
+                x = jnp.where(aspect > 1.0, v * aspect, v)
+                y = jnp.where(aspect > 1.0, v, v / aspect)
+            m = jnp.zeros((4, 4), dtype=jnp.float32)
+            m = m.at[0, 0].set(1.0 / x)
+            m = m.at[1, 1].set(1.0 / y)
+            m = m.at[2, 2].set(-2.0 / (fr - n))
+            m = m.at[2, 3].set(-(fr + n) / (fr - n))
+            m = m.at[3, 3].set(1.0)
+            return m
         fov_rad = self.fov_y * (jnp.pi / 180.0)
         f = 1.0 / jnp.tan(fov_rad / 2.0)
-        n, fr = self.near, self.far
         m = jnp.zeros((4, 4), dtype=jnp.float32)
         m = m.at[0, 0].set(f / aspect)
         m = m.at[1, 1].set(f)
@@ -91,9 +122,73 @@ class Camera:
         inv = self.inv_mvp(aspect)
         world = jnp.einsum("ij,hwj->hwi", inv, d)
         near_pos = world[..., :3] / world[..., 3:4]
+        if self.mode != PM_PERSPECTIVE:
+            # ortho: parallel rays from the near plane toward the far plane
+            dfar = d.at[..., 2].set(1.0)
+            wfar = jnp.einsum("ij,hwj->hwi", inv, dfar)
+            far_pos = wfar[..., :3] / wfar[..., 3:4]
+            return near_pos, mathx.normalize(far_pos - near_pos)
         dirs = mathx.normalize(near_pos - self.eye)
         origins = jnp.broadcast_to(self.eye, dirs.shape)
         return origins, dirs
+
+    # --- interactive-control counterparts (Camera.cpp:43-71) -------------
+    def translate(self, delta) -> "Camera":
+        d = jnp.asarray(delta, jnp.float32)
+        return self.replace(eye=self.eye + d, target=self.target + d)
+
+    def rotate(self, angle, axis) -> "Camera":
+        """Rotate the view direction about the eye (Camera.cpp:48-58)."""
+        q = mathx.quat_from_axis_angle(axis, angle)
+        return self.replace(
+            target=mathx.quat_rotate(q, self.target - self.eye) + self.eye,
+            up=mathx.quat_rotate(q, self.up),
+        )
+
+    def rotate_around(self, center, angle, axis) -> "Camera":
+        """Orbit the eye about `center` (Camera.cpp:60-71)."""
+        c = jnp.asarray(center, jnp.float32)
+        q = mathx.quat_from_axis_angle(axis, angle)
+        return self.replace(
+            eye=mathx.quat_rotate(q, self.eye - c) + c,
+            up=mathx.quat_rotate(q, self.up),
+        )
+
+    # --- thin-lens depth of field ----------------------------------------
+    def basis(self):
+        """(view, right, up_ortho) camera frame (createPinHoleCam,
+        shared_helper_funcs.h:304-308)."""
+        view = mathx.normalize(self.target - self.eye)
+        right = mathx.normalize(jnp.cross(view, mathx.normalize(self.up)))
+        up = mathx.normalize(jnp.cross(right, view))
+        return view, right, up
+
+    def thin_lens_perturb(self, dirs, focus_dist, lens_radius, u1, u2):
+        """Turn pinhole rays (from the eye, directions `dirs` [N,3]) into
+        thin-lens rays focused at `focus_dist` along the view axis
+        (createPinHoleCam, shared_helper_funcs.h:302-338).
+
+        Deviations from the reference's dead code (intended behavior,
+        SURVEY.md §7 hard part 7): the lens point samples a DISC of
+        radius `lens_radius` (r*sqrt(u2); the reference comments out the
+        sqrt, leaving a ring), and the radius is its own parameter
+        instead of aliasing the foveal `aperture`.
+
+        u1, u2: [N] uniforms. Returns (origins [N,3], dirs [N,3]).
+        """
+        view, right, up = self.basis()
+        # focal PLANE at distance f: eye + dir * (f / dot(dir, view))
+        # (identical to the reference's unnormalized-offset scaling)
+        denom = jnp.maximum(jnp.sum(dirs * view, axis=-1, keepdims=True),
+                            1e-6)
+        focus_pt = self.eye + dirs * (focus_dist / denom)
+        ang = 2.0 * jnp.pi * u1
+        rad = lens_radius * jnp.sqrt(u2)
+        lens = (self.eye
+                + right * (jnp.cos(ang) * rad)[:, None]
+                + up * (jnp.sin(ang) * rad)[:, None])
+        new_dirs = mathx.normalize(focus_pt - lens)
+        return lens, new_dirs
 
     def primary_rays_block(self, width: int, height: int, y0, block_h: int,
                            aspect=None):

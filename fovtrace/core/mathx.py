@@ -119,3 +119,31 @@ def luminance(rgb):
     """optix::luminance — Rec.601-ish weights used for importance cutoffs."""
     w = jnp.asarray([0.30, 0.59, 0.11], dtype=rgb.dtype)
     return jnp.sum(rgb * w, axis=-1)
+
+
+# --- quaternions (REF/Camera.cpp:48-71 rotate/rotateAround use glm::quat)
+def quat_from_axis_angle(axis, angle):
+    """Unit quaternion [w,x,y,z] for a rotation of `angle` radians about
+    `axis` (glm::angleAxis)."""
+    axis = normalize(jnp.asarray(axis, jnp.float32))
+    half = jnp.asarray(angle, jnp.float32) * 0.5
+    return jnp.concatenate([jnp.sin(half) * axis, jnp.cos(half)[None]])[
+        jnp.asarray([3, 0, 1, 2])]
+
+
+def quat_mul(q1, q2):
+    w1, x1, y1, z1 = q1[0], q1[1], q1[2], q1[3]
+    w2, x2, y2, z2 = q2[0], q2[1], q2[2], q2[3]
+    return jnp.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def quat_rotate(q, v):
+    """Rotate vector(s) v [..., 3] by unit quaternion q [w,x,y,z]."""
+    qv = q[1:4]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + q[0] * t + jnp.cross(qv, t)

@@ -6,20 +6,31 @@ rays, so we shard horizontal ROW BLOCKS of the screen across a 1-D
 `jax.sharding.Mesh("tiles")`:
 
   - scene/BVH/materials/camera: replicated (small)
-  - G-buffer trace + saliency + sampling + shading: embarrassingly
-    parallel per row block, expressed with `shard_map` — zero comms
-  - per-tile ray compaction: each device argsorts ITS OWN mask with an
-    equal per-tile budget — the multi-chip analog of warp compaction,
-    with no cross-device traffic
-  - reconstruction (JFA / pull-push / A-Trous): cross-tile footprints;
-    the image at this point is small (HxWx4 floats), so round 1 gathers
-    it (`all_gather` over tiles) and reconstructs replicated; halo-based
-    sharded reconstruction is the planned optimization
-  - gradients of replicated parameters are `psum`'d across tiles by the
+  - G-buffer trace + saliency + sampling + shading: per row block inside
+    `shard_map`; an 8-row ppermute halo of the G-buffers makes the
+    cross-tile Sobel/saliency taps EXACT (dist.halo)
+  - temporal reuse: reverse reprojection reads history/depth at
+    arbitrary previous-frame pixels, so the (small) history and depth
+    caches are all-gathered once per frame; everything else stays
+    sharded
+  - per-tile ray compaction: each device compacts ITS OWN mask into a
+    per-tile budget (config.sharded_budget_factor x the equal share,
+    since the tile containing the fovea needs more than 1/N of the
+    rays); overflow beyond the budget is counted in
+    outputs["rays_dropped"]
+  - reconstruction: pull-push and À-Trous run sharded with ppermute
+    halos; JFA/Sibson gather the sparse buffer (dist.recon)
+  - gradients of replicated parameters are psum'd across tiles by the
     shard_map transpose automatically
 
+Parity: with a budget large enough that no rays are dropped,
+`render_sharded` matches single-chip `pipeline.render_frame` pixel-for-
+pixel including temporal history (tests/test_dist.py). Requires
+(H / n_tiles) % 8 == 0 so the dither masks and the sparse sampling floor
+stay globally aligned.
+
 Intra-slice these collectives ride ICI; multi-host runs use the standard
-JAX multi-controller runtime (`jax.distributed.initialize`).
+JAX multi-controller runtime (fovtrace.dist.launch.init_distributed).
 """
 
 from __future__ import annotations
@@ -34,11 +45,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fovtrace.config import RenderConfig
 from fovtrace.core import color as colorx
-from fovtrace.core import rng
-from fovtrace.kernels import atrous, jfa, pullpush, sampling, saliency
+from fovtrace.core import reproject, rng
+from fovtrace.dist import halo as halo_mod
+from fovtrace.dist import recon as recon_mod
+from fovtrace.kernels import saliency, sampling
+from fovtrace.render import gbuffer as gbuffer_mod
+from fovtrace.render import pipeline
 from fovtrace.render import shade as shade_mod
 
 AXIS = "tiles"
+SALIENCY_HALO = 8  # covers the scale-4 Sobel taps at 4x4 block corners
 
 
 def make_mesh(n_devices: int | None = None, axis: str = AXIS) -> Mesh:
@@ -57,144 +73,239 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def render_tile(scene, camera, gaze_px, frame, config: RenderConfig,
-                y0, block_h: int):
-    """Render one row block densely up to the sparse shading buffer.
+def tile_budget(config: RenderConfig, n_tiles: int, block_h: int) -> int:
+    """Static per-tile compaction budget: sharded_budget_factor x the
+    equal share (the fovea tile needs more than 1/N), padded to 1024,
+    capped at the tile size."""
+    eq = config.ray_budget / max(1, n_tiles)
+    b = int(eq * config.sharded_budget_factor)
+    b = max(1024, (b + 1023) // 1024 * 1024)
+    return min(b, block_h * config.width)
 
-    This is the per-device body: G-buffer + saliency + mask + per-tile
-    compacted foveated shading. Temporal reuse is omitted inside the
-    sharded path for round 1 (history handling stays in the single-chip
-    pipeline). Returns the sparse accumulated shading rows [block_h,W,4]
-    plus aux row buffers.
-    """
+
+def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
+               n_tiles: int):
+    """Per-device frame body (runs inside shard_map). Mirrors
+    pipeline.render_frame stage by stage; see that function for the
+    reference citations."""
     h, w = config.height, config.width
-    ro, rd = camera.primary_rays_block(w, h, y0, block_h)
-    ro_f = ro.reshape(-1, 3)
-    rd_f = rd.reshape(-1, 3)
+    bh = h // n_tiles
+    tile = jax.lax.axis_index(AXIS)
+    y0 = tile * bh
+    halo = SALIENCY_HALO
 
-    from fovtrace.kernels import intersect as isect
+    # temporal caches are read at arbitrary reprojected pixels -> gather
+    hist_full = jax.lax.all_gather(state.history, AXIS, tiled=True)
+    depth_full = jax.lax.all_gather(state.depth_cache, AXIS, tiled=True)
 
-    hit = isect.intersect(scene, ro_f, rd_f, config.scene_epsilon,
-                                isect.BIG_T)
-    surf = isect.hit_surface(scene, ro_f, rd_f, hit)
-    valid = hit.valid
-    point = jnp.where(valid[:, None], surf["point"], 0.0)
-    depth = jnp.where(valid, jnp.linalg.norm(point - camera.eye, axis=-1), 0.0)
-    albedo = jnp.where(valid[:, None], surf["kd"], 0.0)
-    gnormal = jnp.where(valid[:, None], surf["gnormal"], 0.0)
+    # ---- 1. G-buffer rows ------------------------------------------------
+    gbuf = gbuffer_mod.trace_gbuffer(scene, camera, state.prev_camera,
+                                     w, h, config, y0=y0, block_h=bh)
 
-    shp = (block_h, w)
-    gbuf_rows = {
-        "position": point.reshape(shp + (3,)),
-        "normal": gnormal.reshape(shp + (3,)),
-        "depth": depth.reshape(shp),
-        "albedo": albedo.reshape(shp + (3,)),
-        # no temporal reproject in the sharded path (round 1)
-        "reproject_uv": jnp.full(shp + (2,), -1.0),
-        "shadow": jnp.ones(shp),
-    }
+    # ---- 2. sampling: cache check + saliency (haloed) + mask -------------
+    is_valid, q_uv = reproject.validate_cache(
+        gbuf["reproject_uv"], gbuf["position"], depth_full,
+        state.prev_camera.eye, w, h, config.cache_epsilon,
+    )
+    if not config.temporal:
+        is_valid = jnp.zeros_like(is_valid)
 
-    # gaze-relative saliency + mask for THIS block (tile-local sobel;
-    # boundary taps clamp at tile edges — documented approximation)
-    gy = gaze_px[0] - y0  # gaze row in tile coords (may be off-tile)
-    gy_c = jnp.clip(gy, 0, block_h - 1)
+    # gaze-pixel depth: owned by exactly one tile, shared by psum
+    gy, gx = gaze_px[0], gaze_px[1]
+    gy_loc = jnp.clip(gy - y0, 0, bh - 1)
+    own = (gy >= y0) & (gy < y0 + bh)
+    focal = jax.lax.psum(
+        jnp.where(own, gbuf["depth"][gy_loc, gx], 0.0), AXIS)
+    gaze_target = jax.lax.psum(
+        jnp.where(own, gbuf["position"][gy_loc, gx], jnp.zeros(3)), AXIS)
+
+    sal_keys = ("albedo", "depth", "normal", "shadow", "reproject_uv")
+    gbuf_pad = {k: halo_mod.halo_pad_rows(gbuf[k], halo, AXIS)
+                for k in sal_keys}
     bbox_diag = jnp.linalg.norm(scene.bbox_max - scene.bbox_min)
-    sal = saliency.compute_saliency(gbuf_rows, (gy_c, gaze_px[1]), bbox_diag,
-                                    config.saliency_block)
+    sal_pad = saliency.compute_saliency(
+        gbuf_pad, (gy, gx), bbox_diag, config.saliency_block,
+        row_offset=y0 - halo, focal=focal)
+    sal = halo_mod.crop_rows(sal_pad, halo)
 
-    py = jnp.arange(block_h, dtype=jnp.float32)[:, None] + jnp.asarray(y0, jnp.float32)
+    py = jnp.arange(bh, dtype=jnp.float32)[:, None] + \
+        jnp.asarray(y0, jnp.float32)
     px = jnp.arange(w, dtype=jnp.float32)[None, :]
-    gdist = jnp.sqrt((px - gaze_px[1]) ** 2 + (py - gaze_px[0]) ** 2) / jnp.sqrt(
-        float(w) ** 2 + float(h) ** 2
-    )
+    gdist = jnp.sqrt((px - gx) ** 2 + (py - gy) ** 2) / jnp.sqrt(
+        float(w) ** 2 + float(h) ** 2)
+
     if config.sampling_mode == "full":
-        mask = jnp.ones((block_h, w), bool)
-    else:
-        mask = sampling.masked_sampling(block_h, w, gdist, sal,
-                                        config.aperture,
+        mask = jnp.ones((bh, w), bool)
+    elif config.sampling_mode == "weier":
+        rate = sampling.weier_sample_rate(gdist, config.aperture,
+                                          config.p_min)
+        gidx2d = (jnp.arange(bh)[:, None] + y0) * w + jnp.arange(w)[None, :]
+        u01 = rng.rnd(rng.pixel_seed(gidx2d, state.frame))[0]
+        mask = u01 < rate
+    elif config.sampling_mode == "masked":
+        # dither tables index global (x%4, y%4); y0 % 8 == 0 keeps the
+        # local arange aligned with the global one
+        mask = sampling.masked_sampling(bh, w, gdist, sal, config.aperture,
                                         config.extra_sample_rate)
+    else:
+        raise NotImplementedError(
+            f"sampling_mode={config.sampling_mode!r} not supported sharded")
 
-    # per-tile compaction: equal budget per tile (capped by the tile size)
-    budget = max(1024, config.ray_budget // max(1, config.height // block_h))
-    budget = min(budget, block_h * w)
+    mask_count = jnp.sum(mask.astype(jnp.int32))
+    ray_count = jax.lax.psum(mask_count, AXIS)
+
+    # ---- 3. per-tile compaction ------------------------------------------
+    budget = tile_budget(config, n_tiles, bh)
     idx, active = sampling.compact_rays(mask, budget)
+    dropped = jax.lax.psum(jnp.maximum(mask_count - budget, 0), AXIS)
 
-    flat_idx_global = idx + 0  # tile-local flat index into [block_h*w]
-    seeds = rng.pixel_seed(
-        flat_idx_global
-        + (jnp.asarray(y0, jnp.int32) * w),
-        frame,
-    )
+    # ---- 4. shading (global pixel ids -> identical seeds/jitter) ---------
+    gidx = idx + y0 * w
+    c_history = reproject.fetch_history(hist_full, q_uv, is_valid)
+    hist_rays = c_history.reshape(-1, 4)[idx]
+    seed_frame = jnp.where(hist_rays[:, 3] > 0.0, state.frame, 0)
+    seeds = rng.pixel_seed(gidx, seed_frame)
+
     j1, seeds = rng.rnd(seeds)
     j2, seeds = rng.rnd(seeds)
-    ry = (idx // w).astype(jnp.float32) + jnp.asarray(y0, jnp.float32)
-    rx = (idx % w).astype(jnp.float32)
-    ndc_x = (rx + j1 - 0.5) / w * 2.0 - 1.0
-    ndc_y = (ry + j2 - 0.5) / h * 2.0 - 1.0
-    d4 = jnp.stack([ndc_x, ndc_y, jnp.full_like(ndc_x, -1.0),
-                    jnp.ones_like(ndc_x)], axis=-1)
-    inv = camera.inv_mvp(float(w) / float(h))
-    world = jnp.einsum("ij,nj->ni", inv, d4)
-    near = world[:, :3] / world[:, 3:4]
-    from fovtrace.core import mathx
-
-    dirs = mathx.normalize(near - camera.eye)
+    gpy = (gidx // w).astype(jnp.float32)
+    gpx = (gidx % w).astype(jnp.float32)
+    ndc_x = (gpx + j1 - 0.5) / w * 2.0 - 1.0
+    ndc_y = (gpy + j2 - 0.5) / h * 2.0 - 1.0
+    dirs = pipeline._unproject(camera, ndc_x, ndc_y, w, h)
     origins = jnp.broadcast_to(camera.eye, dirs.shape)
 
-    radiance, _ = shade_mod.shade(scene, origins, dirs, seeds, config)
+    if config.dof:
+        u1, seeds = rng.rnd(seeds)
+        u2, seeds = rng.rnd(seeds)
+        focus = jnp.linalg.norm(gaze_target - camera.eye)
+        origins, dirs = camera.thin_lens_perturb(
+            dirs, focus, config.lens_radius, u1, u2)
+
+    radiance, shade_aux = shade_mod.shade(scene, origins, dirs, seeds, config)
     tonemapped = colorx.uncharted2_tonemap(radiance, config.exposure_bias)
-    sample = jnp.concatenate([tonemapped, jnp.ones((budget, 1))], axis=-1)
-    sparse = sampling.scatter_rays(
-        jnp.where(active[:, None], sample, 0.0), idx, active, block_h * w
-    ).reshape(block_h, w, 4)
-    return sparse, gbuf_rows, mask
+    sample = jnp.concatenate(
+        [tonemapped, jnp.ones((tonemapped.shape[0], 1))], axis=-1)
+    new_hist_rays = jnp.where(active[:, None], sample + hist_rays, hist_rays)
+
+    n_loc = bh * w
+    traced = sampling.scatter_rays(
+        jnp.ones((budget,), jnp.float32), idx, active, n_loc).reshape(bh, w)
+    delta = sampling.scatter_rays(
+        new_hist_rays - hist_rays, idx, active, n_loc).reshape(bh, w, 4)
+    history = c_history + delta
+    shading = colorx.accumulate_to_color(history)
+    shading = shading * (history[..., 3:4] > 0.0)
+
+    rays_traced = jax.lax.psum(
+        gbuf["rays_traced"] + shade_aux["rays_traced"], AXIS)
+
+    outputs: Dict[str, jnp.ndarray] = {
+        "position": gbuf["position"],
+        "normal": gbuf["normal"],
+        "depth": gbuf["depth"],
+        "albedo": gbuf["albedo"],
+        "shading": shading,
+        "saliency": sal,
+        "mask": mask,
+        "traced": traced,
+        "gaze_target": gaze_target,
+        "ray_count": ray_count,
+        "rays_dropped": dropped,
+        "rays_traced": rays_traced,
+    }
+
+    # ---- 5. reconstruction (sharded halos / gathered; dist.recon) --------
+    recon = config.reconstruction
+    if recon in ("jfa", "all"):
+        _, outputs["jfa"] = recon_mod.jfa_sharded(shading, AXIS)
+    if recon in ("sibson", "all"):
+        outputs["sibson"] = recon_mod.sibson_sharded(
+            shading, AXIS, config.sibson_max_radius)
+    if recon in ("pullpush", "atrous", "all"):
+        pp = recon_mod.pull_push_sharded(shading, AXIS)
+        outputs["pullpush"] = pp
+        if recon in ("atrous", "all"):
+            at = recon_mod.atrous_sharded(
+                pp[..., :3], gbuf["position"], gbuf["normal"],
+                config.atrous_iterations, config.atrous_c_phi,
+                config.atrous_n_phi, config.atrous_p_phi, AXIS, y0, h)
+            outputs["atrous"] = jnp.concatenate([at, pp[..., 3:4]], axis=-1)
+    if recon != "none":
+        final_key = {"jfa": "jfa", "sibson": "sibson",
+                     "pullpush": "pullpush", "atrous": "atrous",
+                     "all": "atrous"}[recon]
+        outputs["image"] = outputs[final_key][..., :3]
+    else:
+        outputs["image"] = shading[..., :3]
+
+    new_state = pipeline.FrameState(
+        history=history,
+        depth_cache=gbuf["depth"],
+        prev_camera=camera,
+        frame=state.frame + 1,
+    )
+    return outputs, new_state
 
 
-def render_sharded(scene, camera, gaze_px, frame, config: RenderConfig,
-                   mesh: Mesh):
-    """Full sharded frame: tiles render independently, reconstruction runs
-    on the gathered (replicated) sparse buffer.
+def render_sharded(scene, camera, gaze_px, state, config: RenderConfig,
+                   mesh: Mesh) -> Tuple[Dict[str, jnp.ndarray], object]:
+    """Full sharded frame with temporal state.
 
-    Returns dict(image [H,W,3], shading [H,W,4], ray_count scalar).
+    state: pipeline.FrameState whose history/depth_cache rows live
+    row-sharded on the mesh (initial_state_sharded). Returns (outputs,
+    new_state) with row-sharded image buffers and replicated scalars —
+    the same contract as pipeline.render_frame.
     """
     n_tiles = mesh.devices.size
     assert config.height % n_tiles == 0, "height must divide the mesh"
-    block_h = config.height // n_tiles
+    bh = config.height // n_tiles
+    assert bh % 8 == 0, (
+        "tile height must be a multiple of 8 (dither/sparse-floor "
+        f"alignment); got {bh}")
 
-    @functools.partial(
-        jax.shard_map,
+    recon = config.reconstruction
+    out_scalars = {"gaze_target", "ray_count", "rays_dropped", "rays_traced"}
+
+    # output specs: row buffers sharded, psum'd scalars replicated
+    keys = ["position", "normal", "depth", "albedo", "shading", "saliency",
+            "mask", "traced", "gaze_target", "ray_count", "rays_dropped",
+            "rays_traced"]
+    if recon in ("jfa", "all"):
+        keys.append("jfa")
+    if recon in ("sibson", "all"):
+        keys.append("sibson")
+    if recon in ("pullpush", "atrous", "all"):
+        keys.append("pullpush")
+    if recon in ("atrous", "all"):
+        keys.append("atrous")
+    keys.append("image")
+    out_spec = ({k: (P() if k in out_scalars else P(AXIS)) for k in keys},
+                pipeline.FrameState(
+                    history=P(AXIS), depth_cache=P(AXIS),
+                    prev_camera=P(), frame=P()))
+
+    body = functools.partial(_tile_body, config=config, n_tiles=n_tiles)
+    fn = jax.shard_map(
+        lambda sc, cam, g, st: body(sc, cam, g, st),
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS), P()),
+        in_specs=(P(), P(), P(),
+                  pipeline.FrameState(history=P(AXIS), depth_cache=P(AXIS),
+                                      prev_camera=P(), frame=P())),
+        out_specs=out_spec,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
-    def tile_body(scene_, camera_, gaze_, frame_):
-        tile = jax.lax.axis_index(AXIS)
-        y0 = tile * block_h
-        sparse, gbuf_rows, mask = render_tile(
-            scene_, camera_, gaze_, frame_, config, y0, block_h
-        )
-        rc = jax.lax.psum(jnp.sum(mask.astype(jnp.int32)), AXIS)
-        return sparse, gbuf_rows["position"], gbuf_rows["normal"], rc
+    return fn(scene, camera, jnp.asarray(gaze_px), state)
 
-    sparse, position, normal, ray_count = tile_body(
-        scene, camera, jnp.asarray(gaze_px), jnp.asarray(frame, jnp.int32)
+
+def initial_state_sharded(camera, config: RenderConfig, mesh: Mesh):
+    """FrameState with row-sharded history/depth caches."""
+    state = pipeline.FrameState.initial(camera, config)
+    rs = row_sharding(mesh)
+    rep = replicated(mesh)
+    return pipeline.FrameState(
+        history=jax.device_put(state.history, rs),
+        depth_cache=jax.device_put(state.depth_cache, rs),
+        prev_camera=jax.device_put(state.prev_camera, rep),
+        frame=jax.device_put(state.frame, rep),
     )
-
-    # reconstruction on the gathered image (replicated; small buffer)
-    if config.reconstruction == "none":
-        image = colorx.accumulate_to_color(sparse)[..., :3]
-    elif config.reconstruction == "jfa":
-        _, col = jfa.jump_flood(sparse)
-        image = col[..., :3]
-    else:
-        pp = pullpush.pull_push(sparse)
-        if config.reconstruction == "atrous":
-            image = atrous.atrous_denoise(
-                pp[..., :3], position, normal,
-                config.atrous_iterations, config.atrous_c_phi,
-                config.atrous_n_phi, config.atrous_p_phi,
-            )
-        else:
-            image = pp[..., :3]
-    return {"image": image, "shading": sparse, "ray_count": ray_count}

@@ -35,8 +35,14 @@ def _shift(img, dy, dx):
     return out, valid
 
 
-def atrous_step(color, position, normal, c_phi, n_phi, p_phi, step: int):
-    """One 25-tap filtering pass at the given step width."""
+def atrous_step(color, position, normal, c_phi, n_phi, p_phi, step: int,
+                row_valid=None):
+    """One 25-tap filtering pass at the given step width.
+
+    row_valid: optional [H] bool — rows that are real screen rows.
+    Sharded tiles pass halo-padded arrays whose edge halos are zero fill
+    for out-of-screen rows; masking those taps out reproduces the
+    single-chip out-of-bounds behavior exactly (dist.recon)."""
     h, w = color.shape[0], color.shape[1]
     acc = jnp.zeros((h, w, color.shape[2]))
     cum_w = jnp.zeros((h, w, 1))
@@ -45,6 +51,8 @@ def atrous_step(color, position, normal, c_phi, n_phi, p_phi, step: int):
             dy = (j - 2) * step
             dx = (i - 2) * step
             ctap, valid = _shift(color, -dy, -dx)
+            if row_valid is not None:
+                valid = valid & jnp.roll(row_valid, -dy)[:, None]
             ptap, _ = _shift(position, -dy, -dx)
             ntap, _ = _shift(normal, -dy, -dx)
 

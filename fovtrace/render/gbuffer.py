@@ -52,13 +52,23 @@ def unswizzle_from_tiles(x, height: int, width: int, tile: int = 16):
     return x.reshape((height * width,) + ch)
 
 
-def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
-    """Returns dict of G-buffers, plus the flat hit record for reuse."""
-    ro, rd = camera.primary_rays(width, height)
+def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config,
+                  y0: int | None = None, block_h: int | None = None):
+    """Returns dict of G-buffers.
+
+    With y0/block_h set, traces only rows [y0, y0+block_h) — the
+    row-sharded path's per-device body (dist.sharding); y0 may be traced
+    as a dynamic value (tile * block_h)."""
+    if block_h is None:
+        ro, rd = camera.primary_rays(width, height)
+        bh = height
+    else:
+        ro, rd = camera.primary_rays_block(width, height, y0, block_h)
+        bh = block_h
     ro_f = ro.reshape(-1, 3)
     rd_f = rd.reshape(-1, 3)
 
-    sw = _can_swizzle(height, width)
+    sw = block_h is None and _can_swizzle(height, width)
     if sw:
         ro_f = swizzle_to_tiles(ro_f, height, width)
         rd_f = swizzle_to_tiles(rd_f, height, width)
@@ -105,7 +115,7 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
             unsw(albedo), unsw(reproject), unsw(valid),
         )
 
-    shp = (height, width)
+    shp = (bh, width)
     return {
         "position": point.reshape(shp + (3,)),
         "normal": gnormal.reshape(shp + (3,)),
@@ -116,7 +126,7 @@ def trace_gbuffer(scene, camera, prev_camera, width: int, height: int, config):
         "hit_valid": valid.reshape(shp),
         # primary rays + issued shadow rays (bench accounting)
         "rays_traced": (
-            jnp.asarray(height * width, jnp.int32)
+            jnp.asarray(bh * width, jnp.int32)
             + jnp.sum(shadow_relevant.astype(jnp.int32))
         ),
     }

@@ -105,11 +105,16 @@ def stage_compact(mask, config: RenderConfig):
 
 
 def stage_shade(scene, camera, idx, active, q_uv, is_valid, state,
-                config: RenderConfig):
+                config: RenderConfig, gaze_target=None):
     """Stage 4 (reference entry 3 / 'Shading'): foveated path trace of
     the compacted wavefront + temporal accumulate. Returns
     (shading [H,W,4] normalized color, history [H,W,4], traced_mask,
-    rays_traced)."""
+    rays_traced).
+
+    With config.dof, `gaze_target` (the G-buffer hit under the gaze)
+    autofocuses a thin-lens camera: focus distance = |gaze_target - eye|
+    — the reference's per-frame gaze->camera-focus readback
+    (REF/main.cpp:278-287) without the GPU->CPU sync."""
     h, w = config.height, config.width
     n_pix = h * w
     py = (idx // w).astype(jnp.float32)
@@ -130,6 +135,13 @@ def stage_shade(scene, camera, idx, active, q_uv, is_valid, state,
     ndc_y = (py + j2 - 0.5) / h * 2.0 - 1.0
     dirs = _unproject(camera, ndc_x, ndc_y, w, h)
     origins = jnp.broadcast_to(camera.eye, dirs.shape)
+
+    if config.dof and gaze_target is not None:
+        u1, seeds = rng.rnd(seeds)
+        u2, seeds = rng.rnd(seeds)
+        focus = jnp.linalg.norm(gaze_target - camera.eye)
+        origins, dirs = camera.thin_lens_perturb(
+            dirs, focus, config.lens_radius, u1, u2)
 
     radiance, shade_aux = shade_mod.shade(scene, origins, dirs, seeds, config)
     tonemapped = colorx.uncharted2_tonemap(radiance, config.exposure_bias)
@@ -222,7 +234,8 @@ def render_frame(
 
     # ---- 4. foveated shading (entry 3) --------------------------------
     shading, history, traced_mask, shade_rays = stage_shade(
-        scene, camera, idx, active, q_uv, is_valid, state, config)
+        scene, camera, idx, active, q_uv, is_valid, state, config,
+        gaze_target=gaze_target)
 
     # ---- 5. reconstruction (GL post chain) ----------------------------
     outputs: Dict[str, jnp.ndarray] = {

@@ -36,8 +36,8 @@ def _jitted_stages(config: RenderConfig):
         sc, gbuf, gaze, st, config))
     s_opt = jax.jit(lambda m: pipeline.stage_compact(m, config))
     s_shade = jax.jit(
-        lambda sc, cam, idx, act, quv, val, st: pipeline.stage_shade(
-            sc, cam, idx, act, quv, val, st, config))
+        lambda sc, cam, idx, act, quv, val, st, gt: pipeline.stage_shade(
+            sc, cam, idx, act, quv, val, st, config, gaze_target=gt))
 
     s_jfa = jax.jit(lambda sh: jfa.jump_flood(sh))
     s_si = jax.jit(lambda co, col: sibson.sibson_interpolate(
@@ -75,7 +75,7 @@ def render_frame_staged(scene, camera, gaze_px, state,
 
     with timer.stage("Shading") as box:
         shading, history, traced_mask, shade_rays = s_shade(
-            scene, camera, idx, active, q_uv, is_valid, state)
+            scene, camera, idx, active, q_uv, is_valid, state, gaze_target)
         box["result"] = shading
 
     outputs: Dict[str, jnp.ndarray] = {

@@ -9,6 +9,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+# the axon TPU plugin ignores JAX_PLATFORMS; honor it via jax.config
+import os as _os
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 

@@ -125,3 +125,72 @@ class TestCamera:
         g = jax.grad(f)(jnp.asarray([3.0, 2.0, 4.0]))
         assert np.isfinite(np.asarray(g)).all()
         assert float(jnp.abs(g).sum()) > 0
+
+
+# --- camera: ortho modes, quaternion controls, thin lens ----------------
+def test_camera_ortho_modes():
+    """getPMat's 3 ortho modes (REF/Camera.cpp:153-181): parallel rays
+    with the requested world extents."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovtrace.core import camera as cam_mod
+
+    cam = cam_mod.Camera.create(
+        eye=(0.0, 0.0, 5.0), target=(0.0, 0.0, 0.0), fov_y=4.0,
+        mode=cam_mod.PM_ORTHO_HEIGHT)
+    ro, rd = cam.primary_rays(8, 8)
+    # all rays parallel to -z
+    np.testing.assert_allclose(np.asarray(rd), np.broadcast_to(
+        [0.0, 0.0, -1.0], rd.shape), atol=1e-5)
+    # world height = fov_y value: origins span [-2, 2) (pixel corners,
+    # so the top sample sits one pixel (4/8 = 0.5) below +2)
+    ys = np.asarray(ro[..., 1])
+    np.testing.assert_allclose(ys.min(), -2.0, atol=1e-5)
+    np.testing.assert_allclose(ys.max(), 2.0 - 4.0 / 8.0, atol=1e-5)
+
+    for mode in (cam_mod.PM_ORTHO, cam_mod.PM_ORTHO_WIDTH):
+        c2 = cam.replace(mode=mode)
+        _, rd2 = c2.primary_rays(8, 4)
+        np.testing.assert_allclose(
+            np.asarray(rd2), np.broadcast_to([0.0, 0.0, -1.0], rd2.shape),
+            atol=1e-5)
+
+
+def test_camera_rotate_around():
+    """Orbit by 2*pi returns the camera; pi about +y mirrors the eye."""
+    import numpy as np
+
+    from fovtrace.core.camera import Camera
+
+    cam = Camera.create(eye=(3.0, 2.0, 0.0), target=(0.0, 2.0, 0.0))
+    full = cam.rotate_around((0.0, 2.0, 0.0), 2.0 * np.pi, (0.0, 1.0, 0.0))
+    np.testing.assert_allclose(np.asarray(full.eye), np.asarray(cam.eye),
+                               atol=1e-5)
+    half = cam.rotate_around((0.0, 2.0, 0.0), np.pi, (0.0, 1.0, 0.0))
+    np.testing.assert_allclose(np.asarray(half.eye), [-3.0, 2.0, 0.0],
+                               atol=1e-5)
+
+
+def test_thin_lens_focus_plane():
+    """Thin-lens rays all pass through the pinhole focal point: at the
+    focus distance, lens jitter converges (createPinHoleCam semantics)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fovtrace.core.camera import Camera
+
+    cam = Camera.create(eye=(0.0, 0.0, 5.0), target=(0.0, 0.0, 0.0))
+    dirs = jnp.asarray([[0.1, 0.05, -1.0]] * 64)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    u1 = jnp.linspace(0.0, 1.0, 64)
+    u2 = jnp.linspace(0.0, 1.0, 64)
+    focus = 5.0
+    o, d = cam.thin_lens_perturb(dirs, focus, 0.2, u1, u2)
+    view = jnp.asarray([0.0, 0.0, -1.0])
+    # march every lens ray to the focal plane -> same point
+    t = focus / jnp.sum(d * view, axis=-1)
+    pts = np.asarray(o + t[:, None] * d)
+    assert pts.std(axis=0).max() < 1e-4
+    # origins actually spread over the lens disc
+    assert np.asarray(o)[:, 0].std() > 0.01
