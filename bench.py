@@ -30,6 +30,9 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--forward-only", action="store_true")
+    p.add_argument("--selfcheck", action="store_true",
+                   help="assert COMPILED pallas kernel winners == brute "
+                        "force on this backend before timing")
     args = p.parse_args()
 
     from fovtrace import Camera, RenderConfig
@@ -39,6 +42,7 @@ def main():
     config = RenderConfig(
         width=args.width, height=args.height, reconstruction="atrous",
         max_depth=4, diffuse_max_depth=1, ray_budget_frac=0.30,
+        full_outputs=False,   # bench path: no display-switchboard buffers
     )
     scene = procedural.SCENES[args.scene]()
     cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
@@ -49,6 +53,36 @@ def main():
           f"{args.width}x{args.height} budget={config.ray_budget} "
           f"device={jax.devices()[0]}", file=sys.stderr)
 
+    if args.selfcheck:
+        # compiled-kernel parity gate (VERDICT r02 weak #4): the Mosaic
+        # path must agree with brute force ON THIS BACKEND before any
+        # number is reported
+        from fovtrace.core import vec as vecm
+        from fovtrace.kernels import intersect as isect_mod
+        import numpy as np
+
+        rngk = np.random.default_rng(7)
+        nchk = 4096
+        ctr = np.asarray((scene.bbox_min + scene.bbox_max) / 2.0)
+        ext = float(jnp.linalg.norm(scene.bbox_max - scene.bbox_min))
+        ro = ctr + rngk.normal(size=(nchk, 3)).astype(np.float32) * ext
+        rd = rngk.normal(size=(nchk, 3)).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+        rov, rdv = vecm.from_rows(jnp.asarray(ro)), vecm.from_rows(
+            jnp.asarray(rd))
+        hp = jax.jit(lambda o, d: isect_mod.intersect_v(
+            scene, o, d, 1e-3, isect_mod.BIG_T, backend="pallas"))(rov, rdv)
+        hb = jax.jit(lambda o, d: isect_mod.intersect_v(
+            scene, o, d, 1e-3, isect_mod.BIG_T, backend="brute"))(rov, rdv)
+        tp, tb = np.asarray(hp.t), np.asarray(hb.t)
+        # same winner, or an equal-t tie (different id, same distance)
+        agree = (np.asarray(hp.tri) == np.asarray(hb.tri)) | np.isclose(
+            tp, tb, rtol=1e-4, atol=1e-5)
+        frac = float(agree.mean())
+        print(f"[bench] selfcheck pallas-vs-brute agreement: {frac:.4f}",
+              file=sys.stderr)
+        assert frac > 0.999, f"pallas/brute disagree: {frac}"
+
     n_pix = config.n_pixels
 
     fwd = jax.jit(lambda s, c, g, st: pipeline.render_frame(s, c, g, st, config))
@@ -57,19 +91,21 @@ def main():
         # full config-5 parameter set: light + materials + CAMERA POSE
         # (pose gradients flow through ray generation and reprojection —
         # the expensive backward; BASELINE.md config 5)
+        from fovtrace.core import vec
+
         s2 = scene.replace(
             light=scene.light.replace(emission=emission),
             materials=scene.materials.replace(kd=kd),
         )
         c2 = cam.replace(eye=eye, target=target)
         out, _ = pipeline.render_frame(s2, c2, gaze, st, config)
-        return jnp.mean(out["image"])
+        return vec.mean_reduce(out["image_rgb"])
 
     fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
 
     t0 = time.time()
     out, state = fwd(scene, cam, gaze, state)
-    jax.block_until_ready(out["image"])
+    jax.block_until_ready(out["image_rgb"])
     print(f"[bench] fwd compile {time.time()-t0:.1f}s", file=sys.stderr)
     # honest per-frame ray work measured on device (primary + shadow +
     # compacted bounce rays; mirrors the reference's ray_count metric,

@@ -70,6 +70,18 @@ class RenderConfig:
     use_pallas: bool = True         # Pallas kernels on TPU; pure-XLA fallback otherwise
     intersect_backend: str = "auto" # "auto" | "brute" | "bvh"
 
+    # rematerialize each shade bounce in the backward pass (trades a 2nd
+    # forward evaluation for not materializing per-bounce residuals —
+    # with the SoA wavefront residuals are ~40x smaller than round 2's
+    # padded [N,3] layout, so this is OFF by default)
+    remat_shade: bool = False
+
+    # build the full view-switchboard output dict (position/normal/...,
+    # the reference's keys 1-9 main.cpp:396-409). False = only the
+    # selected image + counters — the bench/training path, where dead
+    # outputs would otherwise force padded [H,W,3] materializations
+    full_outputs: bool = True
+
     # --- tone mapping ---
     exposure_bias: float = 2.0
     tonemap: str = "uncharted2"

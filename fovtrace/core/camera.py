@@ -212,6 +212,81 @@ class Camera:
         origins = jnp.broadcast_to(self.eye, dirs.shape)
         return origins, dirs
 
+    # --- SoA ray generation (round-3 dense layout; fovtrace.core.vec) ---
+    def unproject_v(self, ndc_x, ndc_y, aspect):
+        """NDC components ([N] or [H,W]) -> world ray directions as Vec3.
+
+        Pure scalar-x-array FMAs through the inverse MVP — no lane-padded
+        [...,4] homogeneous temporaries (the SoA twin of primary_rays'
+        einsum)."""
+        from fovtrace.core import vec as vecm
+
+        inv = self.inv_mvp(aspect)
+        # world = inv @ [ndc_x, ndc_y, -1, 1]
+        col = lambda r: (inv[r, 0] * ndc_x + inv[r, 1] * ndc_y
+                         - inv[r, 2] + inv[r, 3])
+        w = col(3)
+        near = vecm.Vec3(col(0), col(1), col(2)) * (1.0 / w)
+        if self.mode != PM_PERSPECTIVE:
+            colf = lambda r: (inv[r, 0] * ndc_x + inv[r, 1] * ndc_y
+                              + inv[r, 2] + inv[r, 3])
+            wf = colf(3)
+            far = vecm.Vec3(colf(0), colf(1), colf(2)) * (1.0 / wf)
+            return near, vecm.normalize(far - near)
+        dirs = vecm.normalize(near - vecm.of(self.eye))
+        return None, dirs
+
+    def primary_rays_v(self, width: int, height: int, y0=0.0,
+                       block_h: int = None, aspect=None):
+        """SoA primary rays for rows [y0, y0+block_h) (full frame when
+        block_h is None). Returns (origins Vec3 | None for pinhole,
+        dirs Vec3) with [bh, W] components. y0 may be traced (sharded
+        tiles)."""
+        from fovtrace.core import vec as vecm
+
+        if aspect is None:
+            aspect = float(width) / float(height)
+        bh = height if block_h is None else block_h
+        xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+        ys = (jnp.arange(bh, dtype=jnp.float32)
+              + jnp.asarray(y0, jnp.float32))[:, None]
+        ndc_x = jnp.broadcast_to(xs / width * 2.0 - 1.0, (bh, width))
+        ndc_y = jnp.broadcast_to(ys / height * 2.0 - 1.0, (bh, width))
+        near, dirs = self.unproject_v(ndc_x, ndc_y, aspect)
+        if near is None:
+            near = vecm.splat(self.eye, (bh, width))
+        return near, dirs
+
+    def world_to_screen_v(self, p, width: int, height: int, aspect=None):
+        """SoA reprojection: world Vec3 -> (u, v) pixel planes, matching
+        `compute_reprojection` (shared_helper_funcs.h:179-188)."""
+        from fovtrace.core import vec as vecm
+
+        if aspect is None:
+            aspect = float(width) / float(height)
+        m = self.mvp(aspect)
+        (cx, cy, _), cw = vecm.matvec(m, p)
+        safe_w = jnp.where(jnp.abs(cw) < 1e-20, 1e-20, cw)
+        u = (cx / safe_w * width + width) * 0.5
+        v = (cy / safe_w * height + height) * 0.5
+        return u, v
+
+    def thin_lens_perturb_v(self, dirs, focus_dist, lens_radius, u1, u2):
+        """SoA twin of thin_lens_perturb: Vec3 dirs in, (Vec3 origins,
+        Vec3 dirs) out."""
+        from fovtrace.core import vec as vecm
+
+        view, right, up = self.basis()
+        viewv, rightv, upv = vecm.of(view), vecm.of(right), vecm.of(up)
+        eye = vecm.of(self.eye)
+        denom = jnp.maximum(vecm.dot(dirs, viewv), 1e-6)
+        focus_pt = eye + dirs * (focus_dist / denom)
+        ang = 2.0 * jnp.pi * u1
+        rad = lens_radius * jnp.sqrt(u2)
+        lens = eye + rightv * (jnp.cos(ang) * rad) + upv * (jnp.sin(ang) * rad)
+        new_dirs = vecm.normalize(focus_pt - lens)
+        return lens, new_dirs
+
     # --- reprojection helpers ------------------------------------------
     def world_to_screen(self, p, width: int, height: int, aspect=None):
         """World position -> pixel uv, matching `compute_reprojection`

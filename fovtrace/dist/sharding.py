@@ -45,7 +45,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fovtrace.config import RenderConfig
 from fovtrace.core import color as colorx
-from fovtrace.core import reproject, rng
+from fovtrace.core import reproject, rng, vec
+from fovtrace.core.vec import Vec3
 from fovtrace.dist import halo as halo_mod
 from fovtrace.dist import recon as recon_mod
 from fovtrace.kernels import saliency, sampling
@@ -69,6 +70,11 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(AXIS))
 
 
+def history_sharding(mesh: Mesh) -> NamedSharding:
+    """[4, H, W] history planes: rows (axis 1) sharded."""
+    return NamedSharding(mesh, P(None, AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
@@ -87,7 +93,7 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
                n_tiles: int):
     """Per-device frame body (runs inside shard_map). Mirrors
     pipeline.render_frame stage by stage; see that function for the
-    reference citations."""
+    reference citations. Planar layout throughout (round 3)."""
     h, w = config.height, config.width
     bh = h // n_tiles
     tile = jax.lax.axis_index(AXIS)
@@ -95,7 +101,7 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
     halo = SALIENCY_HALO
 
     # temporal caches are read at arbitrary reprojected pixels -> gather
-    hist_full = jax.lax.all_gather(state.history, AXIS, tiled=True)
+    hist_full = jax.lax.all_gather(state.history, AXIS, axis=1, tiled=True)
     depth_full = jax.lax.all_gather(state.depth_cache, AXIS, tiled=True)
 
     # ---- 1. G-buffer rows ------------------------------------------------
@@ -103,9 +109,9 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
                                      w, h, config, y0=y0, block_h=bh)
 
     # ---- 2. sampling: cache check + saliency (haloed) + mask -------------
-    is_valid, q_uv = reproject.validate_cache(
-        gbuf["reproject_uv"], gbuf["position"], depth_full,
-        state.prev_camera.eye, w, h, config.cache_epsilon,
+    is_valid, qy, qx = reproject.validate_cache(
+        gbuf["reproject_u"], gbuf["reproject_v"], gbuf["position"],
+        depth_full, state.prev_camera.eye, w, h, config.cache_epsilon,
     )
     if not config.temporal:
         is_valid = jnp.zeros_like(is_valid)
@@ -116,12 +122,16 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
     own = (gy >= y0) & (gy < y0 + bh)
     focal = jax.lax.psum(
         jnp.where(own, gbuf["depth"][gy_loc, gx], 0.0), AXIS)
+    p = gbuf["position"]
     gaze_target = jax.lax.psum(
-        jnp.where(own, gbuf["position"][gy_loc, gx], jnp.zeros(3)), AXIS)
+        jnp.where(own, jnp.stack([p.x[gy_loc, gx], p.y[gy_loc, gx],
+                                  p.z[gy_loc, gx]]), jnp.zeros(3)), AXIS)
 
-    sal_keys = ("albedo", "depth", "normal", "shadow", "reproject_uv")
-    gbuf_pad = {k: halo_mod.halo_pad_rows(gbuf[k], halo, AXIS)
-                for k in sal_keys}
+    sal_keys = ("albedo", "depth", "normal", "shadow",
+                "reproject_u", "reproject_v")
+    gbuf_pad = jax.tree.map(
+        lambda a: halo_mod.halo_pad_rows(a, halo, AXIS),
+        {k: gbuf[k] for k in sal_keys})
     bbox_diag = jnp.linalg.norm(scene.bbox_max - scene.bbox_min)
     sal_pad = saliency.compute_saliency(
         gbuf_pad, (gy, gx), bbox_diag, config.saliency_block,
@@ -161,9 +171,10 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
 
     # ---- 4. shading (global pixel ids -> identical seeds/jitter) ---------
     gidx = idx + y0 * w
-    c_history = reproject.fetch_history(hist_full, q_uv, is_valid)
-    hist_rays = c_history.reshape(-1, 4)[idx]
-    seed_frame = jnp.where(hist_rays[:, 3] > 0.0, state.frame, 0)
+    c_history = reproject.fetch_history(hist_full, qy, qx, is_valid)
+    hflat = c_history.reshape(4, -1)
+    hist = [hflat[c][idx] for c in range(4)]
+    seed_frame = jnp.where(hist[3] > 0.0, state.frame, 0)
     seeds = rng.pixel_seed(gidx, seed_frame)
 
     j1, seeds = rng.rnd(seeds)
@@ -172,40 +183,48 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
     gpx = (gidx % w).astype(jnp.float32)
     ndc_x = (gpx + j1 - 0.5) / w * 2.0 - 1.0
     ndc_y = (gpy + j2 - 0.5) / h * 2.0 - 1.0
-    dirs = pipeline._unproject(camera, ndc_x, ndc_y, w, h)
-    origins = jnp.broadcast_to(camera.eye, dirs.shape)
+    _, dirs = camera.unproject_v(ndc_x, ndc_y, float(w) / float(h))
+    origins = vec.splat(camera.eye, dirs.shape)
 
     if config.dof:
         u1, seeds = rng.rnd(seeds)
         u2, seeds = rng.rnd(seeds)
         focus = jnp.linalg.norm(gaze_target - camera.eye)
-        origins, dirs = camera.thin_lens_perturb(
+        origins, dirs = camera.thin_lens_perturb_v(
             dirs, focus, config.lens_radius, u1, u2)
 
-    radiance, shade_aux = shade_mod.shade(scene, origins, dirs, seeds, config)
-    tonemapped = colorx.uncharted2_tonemap(radiance, config.exposure_bias)
-    sample = jnp.concatenate(
-        [tonemapped, jnp.ones((tonemapped.shape[0], 1))], axis=-1)
-    new_hist_rays = jnp.where(active[:, None], sample + hist_rays, hist_rays)
+    radiance, shade_aux = shade_mod.shade_v(scene, origins, dirs, seeds,
+                                            config)
+    tm = radiance.map(
+        lambda c: colorx.uncharted2_tonemap(c, config.exposure_bias))
 
     n_loc = bh * w
-    traced = sampling.scatter_rays(
-        jnp.ones((budget,), jnp.float32), idx, active, n_loc).reshape(bh, w)
-    delta = sampling.scatter_rays(
-        new_hist_rays - hist_rays, idx, active, n_loc).reshape(bh, w, 4)
-    history = c_history + delta
-    shading = colorx.accumulate_to_color(history)
-    shading = shading * (history[..., 3:4] > 0.0)
+    deltas = [jnp.where(active, tm.x, 0.0), jnp.where(active, tm.y, 0.0),
+              jnp.where(active, tm.z, 0.0), jnp.where(active, 1.0, 0.0)]
+    safe_idx = jnp.where(active, idx, n_loc)
+    scat = lambda v: (jnp.zeros((n_loc,), jnp.float32)
+                      .at[safe_idx].add(v, mode="drop").reshape(bh, w))
+    delta_planes = jnp.stack([scat(d) for d in deltas], axis=0)
+    history = c_history + delta_planes
+    traced = scat(jnp.ones((budget,), jnp.float32))
+
+    cnt = history[3]
+    inv = jnp.where(cnt > 0.0, 1.0 / jnp.maximum(cnt, 1e-20), 0.0)
+    shading_rgb = Vec3(history[0] * inv, history[1] * inv, history[2] * inv)
+    shading_alpha = (cnt > 0.0).astype(jnp.float32)
+    shading_rows = jnp.concatenate(
+        [vec.to_rows(shading_rgb), shading_alpha[..., None]], axis=-1)
 
     rays_traced = jax.lax.psum(
         gbuf["rays_traced"] + shade_aux["rays_traced"], AXIS)
 
+    grows = gbuffer_mod.gbuffer_rows(gbuf)
     outputs: Dict[str, jnp.ndarray] = {
-        "position": gbuf["position"],
-        "normal": gbuf["normal"],
-        "depth": gbuf["depth"],
-        "albedo": gbuf["albedo"],
-        "shading": shading,
+        "position": grows["position"],
+        "normal": grows["normal"],
+        "depth": grows["depth"],
+        "albedo": grows["albedo"],
+        "shading": shading_rows,
         "saliency": sal,
         "mask": mask,
         "traced": traced,
@@ -217,27 +236,31 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
 
     # ---- 5. reconstruction (sharded halos / gathered; dist.recon) --------
     recon = config.reconstruction
+    img_rgb, img_a = shading_rgb, shading_alpha
     if recon in ("jfa", "all"):
-        _, outputs["jfa"] = recon_mod.jfa_sharded(shading, AXIS)
+        _, outputs["jfa"] = recon_mod.jfa_sharded(shading_rows, AXIS)
+        if recon == "jfa":
+            img_rgb = vec.from_rows(outputs["jfa"][..., :3])
     if recon in ("sibson", "all"):
         outputs["sibson"] = recon_mod.sibson_sharded(
-            shading, AXIS, config.sibson_max_radius)
+            shading_rows, AXIS, config.sibson_max_radius)
+        if recon == "sibson":
+            img_rgb = vec.from_rows(outputs["sibson"][..., :3])
     if recon in ("pullpush", "atrous", "all"):
-        pp = recon_mod.pull_push_sharded(shading, AXIS)
-        outputs["pullpush"] = pp
+        pp_rgb, pp_a = recon_mod.pull_push_sharded(
+            shading_rgb, shading_alpha, AXIS)
+        outputs["pullpush"] = jnp.concatenate(
+            [vec.to_rows(pp_rgb), pp_a[..., None]], axis=-1)
+        img_rgb = pp_rgb
         if recon in ("atrous", "all"):
             at = recon_mod.atrous_sharded(
-                pp[..., :3], gbuf["position"], gbuf["normal"],
+                pp_rgb, gbuf["position"], gbuf["normal"],
                 config.atrous_iterations, config.atrous_c_phi,
                 config.atrous_n_phi, config.atrous_p_phi, AXIS, y0, h)
-            outputs["atrous"] = jnp.concatenate([at, pp[..., 3:4]], axis=-1)
-    if recon != "none":
-        final_key = {"jfa": "jfa", "sibson": "sibson",
-                     "pullpush": "pullpush", "atrous": "atrous",
-                     "all": "atrous"}[recon]
-        outputs["image"] = outputs[final_key][..., :3]
-    else:
-        outputs["image"] = shading[..., :3]
+            outputs["atrous"] = jnp.concatenate(
+                [vec.to_rows(at), pp_a[..., None]], axis=-1)
+            img_rgb = at
+    outputs["image"] = vec.to_rows(img_rgb)
 
     new_state = pipeline.FrameState(
         history=history,
@@ -246,6 +269,11 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
         frame=state.frame + 1,
     )
     return outputs, new_state
+
+
+def _state_spec():
+    return pipeline.FrameState(history=P(None, AXIS), depth_cache=P(AXIS),
+                               prev_camera=P(), frame=P())
 
 
 def render_sharded(scene, camera, gaze_px, state, config: RenderConfig,
@@ -281,17 +309,13 @@ def render_sharded(scene, camera, gaze_px, state, config: RenderConfig,
         keys.append("atrous")
     keys.append("image")
     out_spec = ({k: (P() if k in out_scalars else P(AXIS)) for k in keys},
-                pipeline.FrameState(
-                    history=P(AXIS), depth_cache=P(AXIS),
-                    prev_camera=P(), frame=P()))
+                _state_spec())
 
     body = functools.partial(_tile_body, config=config, n_tiles=n_tiles)
     fn = jax.shard_map(
         lambda sc, cam, g, st: body(sc, cam, g, st),
         mesh=mesh,
-        in_specs=(P(), P(), P(),
-                  pipeline.FrameState(history=P(AXIS), depth_cache=P(AXIS),
-                                      prev_camera=P(), frame=P())),
+        in_specs=(P(), P(), P(), _state_spec()),
         out_specs=out_spec,
         check_vma=False,  # pallas_call outputs carry no vma annotations
     )
@@ -301,11 +325,10 @@ def render_sharded(scene, camera, gaze_px, state, config: RenderConfig,
 def initial_state_sharded(camera, config: RenderConfig, mesh: Mesh):
     """FrameState with row-sharded history/depth caches."""
     state = pipeline.FrameState.initial(camera, config)
-    rs = row_sharding(mesh)
     rep = replicated(mesh)
     return pipeline.FrameState(
-        history=jax.device_put(state.history, rs),
-        depth_cache=jax.device_put(state.depth_cache, rs),
+        history=jax.device_put(state.history, history_sharding(mesh)),
+        depth_cache=jax.device_put(state.depth_cache, row_sharding(mesh)),
         prev_camera=jax.device_put(state.prev_camera, rep),
         frame=jax.device_put(state.frame, rep),
     )

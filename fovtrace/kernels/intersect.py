@@ -9,13 +9,17 @@ with the closest-hit reduction fused in.
 
 Backends:
   - `intersect_brute`      pure-XLA scan over triangle blocks (any device)
-  - `intersect_brute_pallas` Pallas TPU kernel: ray blocks in VMEM, scan
-    over triangle blocks, hit record reduced in registers
+  - `pallas_isect`         Pallas TPU kernel: MXU Cramer matmul per
+    live cluster, front-to-back while_loop schedule
   - BVH packet traversal lives in `fovtrace.kernels.bvh_traverse`
 
-All functions take flat [N,3] ray arrays and a `Scene`; callers reshape
-pixel grids. Hit triangle ids are discrete and treated as constants under
-differentiation (`stop_gradient`); positions/shading stay differentiable.
+PRIMARY API (round 3, SoA): `intersect_v` / `occlusion_v` /
+`hit_surface_v` / `refine_hit_v` take `Vec3` ray components ([N] each)
+and return SoA results — dense on TPU (see fovtrace.core.vec). The
+row-based `intersect` / `occlusion` / `hit_surface` remain as thin
+wrappers over the SoA path for tests and the CPU oracle. Hit triangle
+ids are discrete and treated as constants under differentiation
+(`stop_gradient`); positions/shading stay differentiable.
 """
 
 from __future__ import annotations
@@ -27,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from fovtrace.core import mathx
+from fovtrace.core import mathx, vec
+from fovtrace.core.vec import Vec3
 
 BIG_T = 1e30
 DET_EPS = 1e-12
@@ -248,7 +253,14 @@ def occlusion_brute(
 
 
 # ------------------------------------------------------------- dispatchers
-def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
+def _tri_component(col, tri):
+    """Dense per-component triangle fetch: slice a [T,3] column to [T]
+    (tiny, CSE'd across bounces) then a 1-D gather — never materializes a
+    lane-padded [N,3] gather result."""
+    return col[tri]
+
+
+def refine_hit_v(scene, ro: Vec3, rd: Vec3, hit: Hit) -> Hit:
     """Recompute (t, u, v) differentiably for the already-found triangle.
 
     Traversal is discrete (and reverse-mode can't cross its while_loop),
@@ -256,19 +268,23 @@ def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
     recompute restores exact gradients w.r.t. rays and vertices — the
     backward pass never touches the acceleration structure. (This also
     shrinks the brute-force backward from O(N*T) to O(N).)
+
+    SoA throughout: 9 dense 1-D gathers (v0/e1/e2 components) instead of
+    3 lane-padded [N,3] row gathers.
     """
     tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
-    v0 = scene.v0[tri]
-    e1 = scene.e1[tri]
-    e2 = scene.e2[tri]
-    pvec = jnp.cross(rd, e2)
-    det = jnp.sum(e1 * pvec, axis=-1)
+    g = lambda col: col[tri]
+    v0 = Vec3(g(scene.v0[:, 0]), g(scene.v0[:, 1]), g(scene.v0[:, 2]))
+    e1 = Vec3(g(scene.e1[:, 0]), g(scene.e1[:, 1]), g(scene.e1[:, 2]))
+    e2 = Vec3(g(scene.e2[:, 0]), g(scene.e2[:, 1]), g(scene.e2[:, 2]))
+    pvec = vec.cross(rd, e2)
+    det = vec.dot(e1, pvec)
     inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
     tvec = ro - v0
-    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = jnp.sum(rd * qvec, axis=-1) * inv_det
-    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    u = vec.dot(tvec, pvec) * inv_det
+    qvec = vec.cross(tvec, e1)
+    v = vec.dot(rd, qvec) * inv_det
+    t = vec.dot(e2, qvec) * inv_det
     valid = hit.tri >= 0
     return Hit(
         t=jnp.where(valid, t, BIG_T),
@@ -276,6 +292,11 @@ def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
         u=jnp.where(valid, u, 0.0),
         v=jnp.where(valid, v, 0.0),
     )
+
+
+def refine_hit(scene, ro, rd, hit: Hit) -> Hit:
+    """Row-API wrapper over refine_hit_v."""
+    return refine_hit_v(scene, vec.from_rows(ro), vec.from_rows(rd), hit)
 
 
 def _pick_backend(scene, backend: str) -> str:
@@ -288,9 +309,10 @@ def _pick_backend(scene, backend: str) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "brute"
 
 
-def intersect(scene, ro, rd, t_min, t_max, backend: str = "auto",
-              packet: int = 1024) -> Hit:
-    """Closest-hit dispatcher. Always differentiable via refine_hit."""
+def intersect_v(scene, ro: Vec3, rd: Vec3, t_min, t_max,
+                backend: str = "auto", packet: int = 1024) -> Hit:
+    """Closest-hit dispatcher (SoA). Always differentiable via
+    refine_hit_v."""
     backend = _pick_backend(scene, backend)
     sg = jax.lax.stop_gradient
     if backend == "pallas":
@@ -302,31 +324,53 @@ def intersect(scene, ro, rd, t_min, t_max, backend: str = "auto",
         from fovtrace.kernels import bvh_traverse
 
         raw = bvh_traverse.intersect_bvh(
-            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max), packet
+            sg(scene), sg(vec.to_rows(ro)), sg(vec.to_rows(rd)),
+            sg(t_min), sg(t_max), packet
         )
     else:
-        raw = intersect_brute(sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max))
-    return refine_hit(scene, ro, rd, raw)
+        raw = intersect_brute(sg(scene), sg(vec.to_rows(ro)),
+                              sg(vec.to_rows(rd)), sg(t_min), sg(t_max))
+    return refine_hit_v(scene, ro, rd, raw)
 
 
-def occlusion(scene, ro, rd, t_min, t_max, backend: str = "auto",
-              packet: int = 1024) -> jnp.ndarray:
-    """Shadow-attenuation dispatcher. Visibility is treated as locally
-    constant under differentiation (standard differentiable-rendering
-    convention for binary occlusion; SURVEY.md §7 hard part #3)."""
+def intersect(scene, ro, rd, t_min, t_max, backend: str = "auto",
+              packet: int = 1024) -> Hit:
+    """Row-API wrapper over intersect_v."""
+    return intersect_v(scene, vec.from_rows(ro), vec.from_rows(rd),
+                       t_min, t_max, backend, packet)
+
+
+def occlusion_v(scene, ro: Vec3, rd: Vec3, t_min, t_max,
+                backend: str = "auto", packet: int = 1024) -> Vec3:
+    """Shadow-attenuation dispatcher (SoA in/out). Visibility is treated
+    as locally constant under differentiation (standard differentiable-
+    rendering convention for binary occlusion; SURVEY.md §7 #3)."""
     backend = _pick_backend(scene, backend)
     sg = jax.lax.stop_gradient
     if backend == "pallas":
         from fovtrace.kernels import pallas_isect
 
-        return sg(pallas_isect.occlusion_pallas(
-            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max)))
+        att = pallas_isect.occlusion_pallas(
+            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max))
+        return att.map(sg)
     if backend == "bvh":
         from fovtrace.kernels import bvh_traverse
 
-        return sg(bvh_traverse.occlusion_bvh(
-            sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max), packet))
-    return sg(occlusion_brute(sg(scene), sg(ro), sg(rd), sg(t_min), sg(t_max)))
+        rows = sg(bvh_traverse.occlusion_bvh(
+            sg(scene), sg(vec.to_rows(ro)), sg(vec.to_rows(rd)),
+            sg(t_min), sg(t_max), packet))
+        return vec.from_rows(rows)
+    rows = sg(occlusion_brute(sg(scene), sg(vec.to_rows(ro)),
+                              sg(vec.to_rows(rd)), sg(t_min), sg(t_max)))
+    return vec.from_rows(rows)
+
+
+def occlusion(scene, ro, rd, t_min, t_max, backend: str = "auto",
+              packet: int = 1024) -> jnp.ndarray:
+    """Row-API wrapper over occlusion_v."""
+    return vec.to_rows(occlusion_v(scene, vec.from_rows(ro),
+                                   vec.from_rows(rd), t_min, t_max,
+                                   backend, packet))
 
 
 # --------------------------------------------------------------- shading IO
@@ -339,74 +383,104 @@ def onehot_rows(ids: jnp.ndarray, m: int) -> jnp.ndarray:
     )
 
 
-def material_lookup(materials, safe_mat: jnp.ndarray, columns) -> list:
-    """Fetch several per-material columns with ONE one-hot matmul.
+def onehot_cols(ids: jnp.ndarray, m: int) -> jnp.ndarray:
+    """[M, N] f32 transposed one-hot: M rides the (tiny) sublane axis,
+    N the dense lane axis — the layout-correct orientation on TPU."""
+    return (ids[None, :] == jnp.arange(m, dtype=ids.dtype)[:, None]).astype(
+        jnp.float32
+    )
 
-    columns: list of (name, width). Returns the corresponding [N, width]
-    arrays (width 1 -> [N]). Gradients flow into the material table.
+
+def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
+    """Fetch several per-material columns with ONE transposed one-hot
+    matmul: vals [K, N] = table [K, M] @ onehot [M, N] — every output row
+    is a dense [N] component (no lane-padded [N, K] result).
+
+    columns: list of (name, width). width-3 columns return Vec3, width-1
+    return [N]. Gradients flow into the material table.
     """
     m = materials.kind.shape[0]
-    parts = []
+    rows = []
     for name, width in columns:
-        col = getattr(materials, name)
-        col = col.astype(jnp.float32)
-        parts.append(col[:, None] if col.ndim == 1 else col)
-    table = jnp.concatenate(parts, axis=1)           # [M, sum(widths)]
-    vals = onehot_rows(safe_mat, m) @ table          # [N, sum]
+        col = getattr(materials, name).astype(jnp.float32)
+        rows.append(col[None, :] if col.ndim == 1 else col.T)
+    table = jnp.concatenate(rows, axis=0)            # [K, M]
+    vals = table @ onehot_cols(safe_mat, m)          # [K, N]
     out = []
     off = 0
     for name, width in columns:
-        sl = vals[:, off:off + width]
-        out.append(sl[:, 0] if width == 1 else sl)
+        if width == 1:
+            out.append(vals[off])
+        elif width == 3:
+            out.append(Vec3(vals[off], vals[off + 1], vals[off + 2]))
+        else:
+            out.append(vals[off:off + width])
         off += width
     return out
 
 
-def hit_surface(scene, ro, rd, hit: Hit):
-    """Interpolate surface attributes at hits.
+def material_lookup(materials, safe_mat: jnp.ndarray, columns) -> list:
+    """Row-API wrapper over material_lookup_v (width-3 -> [N,3])."""
+    out = material_lookup_v(materials, safe_mat, columns)
+    return [vec.to_rows(o) if isinstance(o, Vec3) else
+            (o.T if isinstance(o, jnp.ndarray) and o.ndim == 2 else o)
+            for o in out]
 
-    Returns dict with: point [N,3] (refined + offset-ready), shading normal,
-    geometric normal, uv [N,2], mat_id [N], kd [N,3] (albedo incl. texture).
-    Matches triangle_mesh.cu:59-106 barycentric interpolation; the hit
-    point is recomputed as o + t*d (the 'refined' front hit surrogate).
-    Triangle ids are stop-gradiented; positions remain differentiable
-    through t, u, v.
 
-    Fast path: ONE packed row gather from scene.tri_attr (built by
-    with_pack) + a one-hot matmul for material albedo, instead of ~10
-    scattered XLA gathers (per-vertex attributes are compile-time
-    constants of the scene on this path; vertex-attribute gradients need
-    the fallback path).
+def hit_surface_v(scene, ro: Vec3, rd: Vec3, hit: Hit):
+    """Interpolate surface attributes at hits (SoA).
+
+    Returns dict with: point/normal/gnormal/kd (Vec3 of [N]), u_tex/v_tex
+    [N], mat_id [N], t_safe [N]. Matches triangle_mesh.cu:59-106
+    barycentric interpolation; the hit point is recomputed as o + t*d
+    (the 'refined' front hit surrogate). Triangle ids are
+    stop-gradiented; positions remain differentiable through t, u, v.
+
+    Attribute fetch: dense 1-D gathers from the transposed attribute
+    pack `scene.tri_attrT` [A, T] (built by with_pack) — each row gather
+    is a full-lane [N] read, vs the lane-padded [N, 24] row gather the
+    AoS layout would force.
     """
     tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
-    u = hit.u[:, None]
-    v = hit.v[:, None]
+    u = hit.u
+    v = hit.v
     w = 1.0 - u - v
 
-    if getattr(scene, "tri_attr", None) is not None:
-        attr = scene.tri_attr[tri]                   # [N, 24] single gather
-        n_sh = w * attr[:, 0:3] + u * attr[:, 3:6] + v * attr[:, 6:9]
-        n_sh = mathx.normalize(n_sh)
-        gn = attr[:, 9:12]
-        uv = w * attr[:, 12:14] + u * attr[:, 14:16] + v * attr[:, 16:18]
-        mat_id_f = attr[:, 18]
-        mat_id = jnp.where(hit.tri >= 0,
-                           mat_id_f.astype(jnp.int32), -1)
+    at = getattr(scene, "tri_attrT", None)
+    if at is not None:
+        g = lambda r: at[r][tri]
+        gv = lambda r: Vec3(g(r), g(r + 1), g(r + 2))
+        n0, n1, n2 = gv(0), gv(3), gv(6)
+        gn = gv(9)
+        u0, v0_, u1, v1_, u2, v2_ = (g(12), g(13), g(14), g(15), g(16),
+                                     g(17))
+        mat_f = g(18)
     else:
-        n_sh = w * scene.n0[tri] + u * scene.n1[tri] + v * scene.n2[tri]
-        n_sh = mathx.normalize(n_sh)
-        gn = mathx.normalize(jnp.cross(scene.e1[tri], scene.e2[tri]))
-        uv = w * scene.uv0[tri] + u * scene.uv1[tri] + v * scene.uv2[tri]
-        mat_id = jnp.where(hit.tri >= 0, scene.mat_id[tri], -1)
+        # un-packed scene: slice the per-vertex columns (tiny, CSE'd)
+        # then dense 1-D gathers
+        gc = lambda col: col[tri]
+        gv3 = lambda a: Vec3(gc(a[:, 0]), gc(a[:, 1]), gc(a[:, 2]))
+        n0, n1, n2 = gv3(scene.n0), gv3(scene.n1), gv3(scene.n2)
+        e1v, e2v = gv3(scene.e1), gv3(scene.e2)
+        gn = vec.normalize(vec.cross(e1v, e2v))
+        u0, v0_ = gc(scene.uv0[:, 0]), gc(scene.uv0[:, 1])
+        u1, v1_ = gc(scene.uv1[:, 0]), gc(scene.uv1[:, 1])
+        u2, v2_ = gc(scene.uv2[:, 0]), gc(scene.uv2[:, 1])
+        mat_f = scene.mat_id[tri].astype(jnp.float32)
+
+    n_sh = vec.normalize(n0 * w + n1 * u + n2 * v)
+    u_tex = u0 * w + u1 * u + u2 * v
+    v_tex = v0_ * w + v1_ * u + v2_ * v
+    mat_id = jnp.where(hit.tri >= 0, mat_f.astype(jnp.int32), -1)
 
     # miss lanes carry t = BIG_T; clamp them so downstream dead-lane math
-    # (light distance, Beer's law) stays finite — otherwise inf intermediates
-    # poison the backward pass through jnp.where (0 * inf = NaN).
+    # (light distance, Beer's law) stays finite — otherwise inf
+    # intermediates poison the backward pass through where (0*inf = NaN).
     t_safe = jnp.where(hit.valid, hit.t, 0.0)
-    point = ro + t_safe[:, None] * rd
+    point = ro + rd * t_safe
 
     safe_mat = jnp.maximum(mat_id, 0)
-    kd, tex_id_f = material_lookup(
+    kd, tex_id_f = material_lookup_v(
         scene.materials, safe_mat, [("kd", 3), ("texture_id", 1)]
     )
     tex_id = tex_id_f.astype(jnp.int32)
@@ -420,17 +494,35 @@ def hit_surface(scene, ro, rd, hit: Hit):
     # skip the texel gather for the 1x1x1 placeholder atlas (no scene
     # textures) — statically decidable from the atlas shape
     if ntex > 1 or th * tw > 1:
-        tx = jnp.clip((uv[:, 0] % 1.0) * tw, 0, tw - 1).astype(jnp.int32)
-        ty = jnp.clip((uv[:, 1] % 1.0) * th, 0, th - 1).astype(jnp.int32)
-        texel = scene.textures[jnp.clip(tex_id, 0, ntex - 1), ty, tx]
-        kd = jnp.where(tex_id[:, None] >= 0, kd * texel, kd)
+        tx = jnp.clip((u_tex % 1.0) * tw, 0, tw - 1).astype(jnp.int32)
+        ty = jnp.clip((v_tex % 1.0) * th, 0, th - 1).astype(jnp.int32)
+        ti = jnp.clip(tex_id, 0, ntex - 1)
+        texel = Vec3(scene.textures[ti, ty, tx, 0],
+                     scene.textures[ti, ty, tx, 1],
+                     scene.textures[ti, ty, tx, 2])
+        kd = vec.where(tex_id >= 0, kd * texel, kd)
 
     return {
         "point": point,
         "normal": n_sh,
         "gnormal": gn,
-        "uv": uv,
+        "u_tex": u_tex,
+        "v_tex": v_tex,
         "mat_id": mat_id,
         "kd": kd,
         "t_safe": t_safe,
+    }
+
+
+def hit_surface(scene, ro, rd, hit: Hit):
+    """Row-API wrapper over hit_surface_v (Vec3 -> [N,3], uv -> [N,2])."""
+    s = hit_surface_v(scene, vec.from_rows(ro), vec.from_rows(rd), hit)
+    return {
+        "point": vec.to_rows(s["point"]),
+        "normal": vec.to_rows(s["normal"]),
+        "gnormal": vec.to_rows(s["gnormal"]),
+        "uv": jnp.stack([s["u_tex"], s["v_tex"]], axis=-1),
+        "mat_id": s["mat_id"],
+        "kd": vec.to_rows(s["kd"]),
+        "t_safe": s["t_safe"],
     }

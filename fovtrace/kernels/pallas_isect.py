@@ -21,14 +21,22 @@ the problem onto the MXU + VPU instead:
                   t*det = f . [n,    0,      0,  -v0.n  ]
                   u*det = f . [0,  v0 x e2,  e2, 0      ]
                   v*det = f . [0,  e1 x v0, -e1, 0      ]
-              so one [256,16] x [16, 4*128] matmul per live cluster
+              so one [16, 4*128]^T x [16, 256] matmul per live cluster
               produces all four quantities for 128 triangles — the FLOPs
               ride the systolic array instead of the VPU, leaving only a
               ~12-op elementwise epilogue (divide, compares, argmin).
 
+DATA LAYOUT (round 3): everything the kernel touches in HBM is stored
+TRIANGLE/RAY-MAJOR on the 128-lane axis — rays as [NB, 16, 256] (not
+[N, 16], whose 16-wide minor axis pads to 128 lanes = 8x HBM traffic),
+outputs as [NB, 256] (not [N, 1], which pads 128x). The kernel works in
+the transposed space throughout: matmul result [4c, R], reductions over
+the sublane (triangle) axis. Ray origins/directions arrive as SoA
+`Vec3` ([N] per component) — see fovtrace.core.vec for why.
+
 The matmul runs as an error-compensated bf16 SPLIT by default
-(`MATMUL_MODE = "bf16x3"`): x = hi + lo in bf16, res = hi@Chi + hi@Clo +
-lo@Chi — 3 MXU passes with ~2^-16 relative error, vs 6 passes for
+(`MATMUL_MODE = "bf16x3"`): x = hi + lo in bf16, res = Chi@hi + Clo@hi +
+Chi@lo — 3 MXU passes with ~2^-16 relative error, vs 6 passes for
 Mosaic's f32-HIGHEST (2x faster, same winner ids on all test scenes) and
 1 pass for raw bf16 (3x faster still, but its 2^-8 error visibly flips
 hits to misses along quad diagonals — cracks). The kernel only has to
@@ -48,18 +56,25 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from fovtrace.core import vec
+from fovtrace.core.vec import Vec3
 from fovtrace.kernels.intersect import BIG_T, DET_EPS, Hit
 
 CLUSTER = 128      # minimum triangles per cluster (lane width)
 MAX_CLUSTERS = 24  # cap on clusters/scene so the schedule fits SMEM (1MB)
-RAY_BLOCK = 256    # rays per program
+RAY_BLOCK = 256    # rays per schedule bundle (culling granularity)
+GROUP = 8          # ray blocks per pallas program: the output block is
+#                    then (GROUP, RAY_BLOCK) = (8, 256) — the minimal
+#                    legal dense VMEM tile (sublane dim must divide 8);
+#                    each program runs GROUP independent while_loops
 
 # Cramer-matmul precision: "bf16x3" (3-pass compensated split, ~f32
 # accurate, the default), "bf16" (1 pass, fastest, cracks along quad
 # diagonals), "f32" (Mosaic HIGHEST, 6 passes, exact).
 MATMUL_MODE = "bf16x3"
 
-_DN = dict(dimension_numbers=(((1,), (0,)), ((), ())),
+# contract dim 0 of both operands: coef [16, 4c] x raysT [16, R] -> [4c, R]
+_DN = dict(dimension_numbers=(((0,), (0,)), ((), ())),
            preferred_element_type=jnp.float32)
 
 
@@ -69,28 +84,30 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _ray_parts(fr):
-    """Per-block hoisted matmul operands for the current MATMUL_MODE."""
+def _ray_parts(frT):
+    """Per-block hoisted matmul operands for the current MATMUL_MODE.
+    frT: [16, R]."""
     if MATMUL_MODE == "f32":
-        return (fr,)
+        return (frT,)
     if MATMUL_MODE == "bf16":
-        return (fr.astype(jnp.bfloat16),)
-    return _split_bf16(fr)
+        return (frT.astype(jnp.bfloat16),)
+    return _split_bf16(frT)
 
 
 def _mt_matmul(parts, cb):
-    """[R,16] x [16,4c] under the selected precision mode; f32 result."""
+    """coef [16,4c] x raysT [16,R] under the selected precision mode;
+    f32 result [4c, R]."""
     if MATMUL_MODE == "f32":
         return jax.lax.dot_general(
-            parts[0], cb, precision=jax.lax.Precision.HIGHEST, **_DN)
+            cb, parts[0], precision=jax.lax.Precision.HIGHEST, **_DN)
     if MATMUL_MODE == "bf16":
-        return jax.lax.dot_general(parts[0], cb.astype(jnp.bfloat16), **_DN)
+        return jax.lax.dot_general(cb.astype(jnp.bfloat16), parts[0], **_DN)
     fhi, flo = parts
     chi, clo = _split_bf16(cb)
     return (
-        jax.lax.dot_general(fhi, chi, **_DN)
-        + jax.lax.dot_general(fhi, clo, **_DN)
-        + jax.lax.dot_general(flo, chi, **_DN)
+        jax.lax.dot_general(chi, fhi, **_DN)
+        + jax.lax.dot_general(clo, fhi, **_DN)
+        + jax.lax.dot_general(chi, flo, **_DN)
     )
 
 
@@ -98,7 +115,8 @@ def pick_cluster(t_pad_min: int) -> int:
     """Cluster width for a scene of ~t triangles: smallest power-of-two
     multiple of CLUSTER keeping the cluster count <= MAX_CLUSTERS (the
     flat per-block schedule must fit scalar memory). Large scenes get
-    coarser clusters; a supercluster hierarchy is the planned upgrade."""
+    coarser clusters; the supercluster level (cluster_hierarchy) keeps
+    culling effective when this widens."""
     c = CLUSTER
     while (t_pad_min + c - 1) // c > MAX_CLUSTERS:
         c *= 2
@@ -112,15 +130,16 @@ def _interpret() -> bool:
 
 # ----------------------------------------------------------------- packing
 def compute_pack(scene):
-    """(coef [NC, 16, 4c], aux [NC, 8, c], clusters [NC, 8]).
+    """(coef [NC, 16, 4c], aux [NC, c, 8], clusters [NC, 8]).
 
     coef column layout per cluster: [t_num | det | u_num | v_num], each c
     wide. The cluster axis LEADS so the kernel selects a cluster with a
     plain dynamic index on a non-tiled dim (free address arithmetic) —
     dynamic slicing along the lane dim is what Mosaic charges for.
     Padding triangles have all-zero coefficients -> det = 0 -> never hit.
-    aux rows: transparent, shadow_att rgb, 1/|e1 x e2| (for
-    |cos| = |det|/|n| in the occlusion fresnel).
+    aux cols (triangle-major rows so the occlusion kernel's [c,1] slices
+    line up with its [c,R] hit masks): transparent, shadow_att rgb,
+    1/|e1 x e2| (for |cos| = |det|/|n| in the occlusion fresnel).
     """
     from fovtrace.scene.scene import MATL_REFRACTION
 
@@ -160,13 +179,13 @@ def compute_pack(scene):
                    jnp.ones((1, 3), jnp.float32))
     sa = jnp.pad(sa, ((0, pad), (0, 0)), constant_values=1.0)
     inv_n = 1.0 / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-20)
-    aux = jnp.zeros((8, t_pad), jnp.float32)
+    aux = jnp.zeros((t_pad, 8), jnp.float32)
     aux = (
-        aux.at[0].set(transp)
-        .at[1].set(sa[:, 0]).at[2].set(sa[:, 1]).at[3].set(sa[:, 2])
-        .at[4].set(inv_n)
+        aux.at[:, 0].set(transp)
+        .at[:, 1].set(sa[:, 0]).at[:, 2].set(sa[:, 1]).at[:, 3].set(sa[:, 2])
+        .at[:, 4].set(inv_n)
     )
-    aux = aux.reshape(8, nc, c).transpose(1, 0, 2)   # [NC, 8, c]
+    aux = aux.reshape(nc, c, 8)                 # [NC, c, 8]
 
     # cluster AABBs (padding triangles excluded via degenerate test)
     v0c = v0.reshape(nc, c, 3)
@@ -195,37 +214,51 @@ def scene_pack(scene):
     return compute_pack(scene)
 
 
-def pack_rays16(ro, rd, t_min, t_max) -> Tuple[jnp.ndarray, int]:
-    """[N_pad, 16] ray features:
-    o(3), d(3), w = o x d (3), 1, t_min, t_max, 1/d (3), 0.
+def pack_raysT(ro: Vec3, rd: Vec3, t_min, t_max) -> Tuple[jnp.ndarray, int]:
+    """SoA rays -> [NB, 16, RAY_BLOCK] transposed feature blocks:
+    rows = o(3), d(3), w = o x d (3), 1, t_min, t_max, 1/d (3), 0.
 
-    Columns 0-9 are the matmul feature vector (coef rows 10-15 are zero,
-    so the trailing slab-test columns don't pollute the contraction)."""
-    n = ro.shape[0]
+    Rows 0-9 are the matmul feature vector (coef rows 10-15 are zero,
+    so the trailing slab-test rows don't pollute the contraction).
+    Built as a [16, N] stack (sublane-major: N rides the dense lane
+    axis) then reshaped/transposed to blocks — never materializes a
+    lane-padded [N, 16]."""
+    n = ro.x.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
-    w = jnp.cross(ro, rd)
-    ones = jnp.ones((n, 1), jnp.float32)
+    w = vec.cross(ro, rd)
     eps = jnp.float32(1e-12)
-    inv_d = 1.0 / jnp.where(jnp.abs(rd) < eps,
-                            jnp.where(rd < 0, -eps, eps), rd)
-    zeros = jnp.zeros((n, 1), jnp.float32)
-    rays = jnp.concatenate(
-        [ro, rd, w, ones, t_min[:, None], t_max[:, None], inv_d, zeros],
-        axis=1,
-    )
-    pad = (-n) % RAY_BLOCK
+    inv = lambda d: 1.0 / jnp.where(jnp.abs(d) < eps,
+                                    jnp.where(d < 0, -eps, eps), d)
+    ones = jnp.ones((n,), jnp.float32)
+    zeros = jnp.zeros((n,), jnp.float32)
+    raysT = jnp.stack(
+        [ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, w.x, w.y, w.z, ones,
+         t_min, t_max, inv(rd.x), inv(rd.y), inv(rd.z), zeros],
+        axis=0,
+    )                                                  # [16, N]
+    # pad to GROUP whole ray blocks (dead filler blocks have zero live
+    # clusters -> their while_loops exit immediately)
+    pad = (-n) % (RAY_BLOCK * GROUP)
     if pad:
-        filler = jnp.zeros((pad, 16), jnp.float32)
         # padding rays: d=(1,0,0), t_max=-1 -> never hit
-        filler = filler.at[:, 3].set(1.0).at[:, 11].set(-1.0)
-        filler = filler.at[:, 12:15].set(1.0)
-        rays = jnp.concatenate([rays, filler], axis=0)
-    return rays, n
+        filler = jnp.zeros((16, pad), jnp.float32)
+        filler = filler.at[3].set(1.0).at[11].set(-1.0)
+        filler = filler.at[12:15].set(1.0)
+        raysT = jnp.concatenate([raysT, filler], axis=1)
+    n_pad = raysT.shape[1]
+    nb = n_pad // RAY_BLOCK
+    raysT = raysT.reshape(16, nb, RAY_BLOCK).transpose(1, 0, 2)
+    return raysT, n
+
+
+def pack_rays16(ro, rd, t_min, t_max) -> Tuple[jnp.ndarray, int]:
+    """Row-API compatibility: [N,3] rays -> transposed blocks."""
+    return pack_raysT(vec.from_rows(ro), vec.from_rows(rd), t_min, t_max)
 
 
 # --------------------------------------------------- block-sparse liveness
-def block_liveness(rays: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
+def block_liveness(raysT: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     """Conservative [NB, NC] bool: can ANY ray of block i hit cluster j?
 
     Interval-arithmetic ray-bundle vs AABB slab test: per component, the
@@ -236,15 +269,15 @@ def block_liveness(rays: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     min_k(exit upper bound), NO ray in the bundle can hit — a valid
     conservative cull. Computed densely in XLA (NB*NC is tiny); the
     result drives the kernel's per-block live-cluster schedule.
+
+    raysT: [NB, 16, RAY_BLOCK] packed transposed blocks.
     """
-    nb = rays.shape[0] // RAY_BLOCK
-    rb = rays.reshape(nb, RAY_BLOCK, 16)
-    o_lo = jnp.min(rb[..., 0:3], axis=1)   # [NB,3]
-    o_hi = jnp.max(rb[..., 0:3], axis=1)
-    d_lo = jnp.min(rb[..., 3:6], axis=1)
-    d_hi = jnp.max(rb[..., 3:6], axis=1)
-    tmin_lo = jnp.min(rb[..., 10], axis=1)          # [NB]
-    tmax_hi = jnp.max(rb[..., 11], axis=1)
+    o_lo = jnp.min(raysT[:, 0:3, :], axis=2)   # [NB,3]
+    o_hi = jnp.max(raysT[:, 0:3, :], axis=2)
+    d_lo = jnp.min(raysT[:, 3:6, :], axis=2)
+    d_hi = jnp.max(raysT[:, 3:6, :], axis=2)
+    tmin_lo = jnp.min(raysT[:, 10, :], axis=1)          # [NB]
+    tmax_hi = jnp.max(raysT[:, 11, :], axis=1)
 
     b_lo = clusters[:, 0:3]                # [NC,3]
     b_hi = clusters[:, 3:6]
@@ -274,8 +307,8 @@ def block_liveness(rays: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     return (tenter <= texit) & nonempty, tenter
 
 
-def cluster_schedule(rays: jnp.ndarray, clusters: jnp.ndarray):
-    """(sched [NB*NC+1] i32, counts [NB] i32).
+def cluster_schedule(raysT: jnp.ndarray, clusters: jnp.ndarray):
+    """(sched [NB*NC+1] i32, counts [NB] i32, params [2] f32).
 
     Per ray block: live clusters sorted FRONT-TO-BACK by conservative
     entry-t, dead clusters compacted to the tail. `counts[i]` bounds the
@@ -295,7 +328,7 @@ def cluster_schedule(rays: jnp.ndarray, clusters: jnp.ndarray):
     reads index i*NC+count. 1-D because SMEM pads the last axis of 2-D
     scalar arrays to 128 lanes.
     """
-    live, tenter = block_liveness(rays, clusters)
+    live, tenter = block_liveness(raysT, clusters)
     key = jnp.where(live, tenter, jnp.float32(BIG_T))
     order = jnp.argsort(key, axis=1).astype(jnp.int32)      # [NB, NC]
     tent_sorted = jnp.take_along_axis(key, order, axis=1)
@@ -321,12 +354,13 @@ def cluster_schedule(rays: jnp.ndarray, clusters: jnp.ndarray):
 
 
 def _mt_epilogue(res, tmin, tmax, c: int):
-    """Shared hit test on the matmul result [R, 4c] ->
-    (t [R,c] masked with BIG_T on miss, hit [R,c], det [R,c])."""
-    t_num = res[:, 0 * c:1 * c]
-    det = res[:, 1 * c:2 * c]
-    u_num = res[:, 2 * c:3 * c]
-    v_num = res[:, 3 * c:4 * c]
+    """Shared hit test on the transposed matmul result [4c, R] ->
+    (t [c,R] masked with BIG_T on miss, hit [c,R], det [c,R]).
+    tmin/tmax: [1, R] (broadcast over the triangle sublane axis)."""
+    t_num = res[0 * c:1 * c, :]
+    det = res[1 * c:2 * c, :]
+    u_num = res[2 * c:3 * c, :]
+    v_num = res[3 * c:4 * c, :]
     ud = u_num * det
     vd = v_num * det
     ok = (
@@ -357,46 +391,53 @@ def _bound_key(bound_f32, scale, t_cap):
 def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
                     t_out, idx_out, *, nc: int, c: int):
     i = pl.program_id(0)
-    r = rays_ref.shape[0]
-
-    t_out[:] = jnp.full((r, 1), BIG_T, jnp.float32)
-    idx_out[:] = jnp.full((r, 1), -1, jnp.int32)
-
-    # hoisted per-block invariants
-    parts = _ray_parts(rays_ref[:])                 # one convert per block
-    tmin = rays_ref[:, 10:11]
-    tmax = rays_ref[:, 11:12]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
-    count = counts_ref[i]
+    r = rays_ref.shape[2]
     scale = params_ref[0]
     t_cap = params_ref[1]
-    tmax_blk = jnp.max(rays_ref[:, 11])             # scalar upper bound
+    sub = jax.lax.broadcasted_iota(jnp.int32, (c, r), 0)
 
-    def cond(carry):
-        l, bound_key = carry
-        # front-to-back: once a cluster starts beyond every ray's best
-        # hit (or every tmax), no later cluster can improve anything
-        tent_key = sched_ref[i * nc + l] // 256
-        return (l < count) & (tent_key <= bound_key)
+    t_out[...] = jnp.full((GROUP, r), BIG_T, jnp.float32)
+    idx_out[...] = jnp.full((GROUP, r), -1, jnp.int32)
 
-    def body(carry):
-        l, bound_key = carry
-        jc = sched_ref[i * nc + l] % 256
-        res = _mt_matmul(parts, coef_ref[jc])
-        t, _, _ = _mt_epilogue(res, tmin, tmax, c)
-        best_t = t_out[:]
-        bt = jnp.min(t, axis=1, keepdims=True)
-        sel = (t <= bt) & (t < BIG_T)
-        li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
-        better = (li < c) & (bt < best_t)
-        gi = jc * c + jnp.minimum(li, c - 1)
-        t_out[:] = jnp.where(better, bt, best_t)
-        idx_out[:] = jnp.where(better, gi, idx_out[:])
-        new_bound = jnp.minimum(jnp.max(t_out[:]), tmax_blk)
-        return l + 1, _bound_key(new_bound, scale, t_cap)
+    for g in range(GROUP):                          # GROUP sub-blocks,
+        b = i * GROUP + g                           # each its own loop
+        raysT = rays_ref[g]                         # [16, R]
+        # hoisted per-block invariants
+        parts = _ray_parts(raysT)                   # one convert per block
+        tmin = raysT[10:11, :]                      # [1, R]
+        tmax = raysT[11:12, :]
+        count = counts_ref[b]
+        tmax_blk = jnp.max(tmax)                    # scalar upper bound
 
-    jax.lax.while_loop(cond, body,
-                       (0, _bound_key(tmax_blk, scale, t_cap)))
+        def cond(carry):
+            l, bound_key, _, _ = carry
+            # front-to-back: once a cluster starts beyond every ray's
+            # best hit (or every tmax), no later cluster can improve
+            tent_key = sched_ref[b * nc + l] // 256
+            return (l < count) & (tent_key <= bound_key)
+
+        def body(carry):
+            l, bound_key, best_t, best_i = carry
+            jc = sched_ref[b * nc + l] % 256
+            res = _mt_matmul(parts, coef_ref[jc])       # [4c, R]
+            t, _, _ = _mt_epilogue(res, tmin, tmax, c)  # [c, R]
+            bt = jnp.min(t, axis=0, keepdims=True)      # [1, R]
+            sel = (t <= bt) & (t < BIG_T)
+            li = jnp.min(jnp.where(sel, sub, c), axis=0, keepdims=True)
+            better = (li < c) & (bt < best_t)
+            gi = jc * c + jnp.minimum(li, c - 1)
+            best_t = jnp.where(better, bt, best_t)
+            best_i = jnp.where(better, gi, best_i)
+            new_bound = jnp.minimum(jnp.max(best_t), tmax_blk)
+            return l + 1, _bound_key(new_bound, scale, t_cap), best_t, best_i
+
+        _, _, bt_g, bi_g = jax.lax.while_loop(
+            cond, body,
+            (0, _bound_key(tmax_blk, scale, t_cap),
+             jnp.full((1, r), BIG_T, jnp.float32),
+             jnp.full((1, r), -1, jnp.int32)))
+        t_out[g:g + 1, :] = bt_g
+        idx_out[g:g + 1, :] = bi_g
 
 
 # blocks per pallas_call chunk so the prefetched schedule fits SMEM
@@ -413,20 +454,20 @@ def _block_chunks(nb: int, nc: int):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_call(rays, coef, clusters, interpret: bool):
-    sched, counts, params = cluster_schedule(rays, clusters)
-    return _closest_call_pre(rays, coef, sched, counts, params, interpret)
+def _closest_call(raysT, coef, clusters, interpret: bool):
+    sched, counts, params = cluster_schedule(raysT, clusters)
+    return _closest_call_pre(raysT, coef, sched, counts, params, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_call_pre(rays, coef, sched, counts, params, interpret: bool):
-    n_pad = rays.shape[0]
-    nb = n_pad // RAY_BLOCK
+def _closest_call_pre(raysT, coef, sched, counts, params, interpret: bool):
+    nb = raysT.shape[0]
     nc = coef.shape[0]
     c = coef.shape[2] // 4
+    ng = nb // GROUP
 
-    cb = _block_chunks(nb, nc)
-    if cb < nb:
+    cb = _block_chunks(nb, nc) // GROUP * GROUP
+    if 0 < cb < nb:
         # chunk along ray blocks; schedules are per-block so slices are
         # self-contained (re-pad each chunk's sched with the +1 sentinel)
         outs = []
@@ -434,24 +475,25 @@ def _closest_call_pre(rays, coef, sched, counts, params, interpret: bool):
         for b0 in range(0, nb, cb):
             b1 = min(b0 + cb, nb)
             outs.append(_closest_call_pre(
-                rays[b0 * RAY_BLOCK:b1 * RAY_BLOCK], coef,
+                raysT[b0:b1], coef,
                 jnp.concatenate([sched[b0 * nc:b1 * nc], sent]),
                 counts[b0:b1], params, interpret))
         return [jnp.concatenate([o[k] for o in outs]) for k in range(2)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb,),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 16), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, 16, RAY_BLOCK),
+                         lambda i, n, s, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((RAY_BLOCK, 1), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
@@ -459,147 +501,154 @@ def _closest_call_pre(rays, coef, sched, counts, params, interpret: bool):
         functools.partial(_closest_kernel, nc=nc, c=c),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32),
+            jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, sched, params, rays, coef)
+    )(counts, sched, params, raysT, coef)
 
 
-def intersect_pallas(scene, ro, rd, t_min, t_max) -> Hit:
-    """Closest-hit via the block-sparse MXU cluster kernel.
+def intersect_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Hit:
+    """Closest-hit via the block-sparse MXU cluster kernel (SoA rays).
 
     Returns only (t, tri) from the kernel; (u, v) are zeros — callers go
     through `intersect.refine_hit`, which recomputes t/u/v for the
     winning triangle in f32 (and differentiably)."""
-    rays, n = pack_rays16(ro, rd, t_min, t_max)
+    raysT, n = pack_raysT(ro, rd, t_min, t_max)
     coef, _aux, clusters = scene_pack(scene)
-    t, idx = _closest_call(rays, coef, clusters, _interpret())
+    t, idx = _closest_call(raysT, coef, clusters, _interpret())
     z = jnp.zeros((n,), jnp.float32)
-    return Hit(t=t[:n, 0], tri=idx[:n, 0], u=z, v=z)
+    return Hit(t=t.reshape(-1)[:n], tri=idx.reshape(-1)[:n], u=z, v=z)
 
 
 # ---------------------------------------------------------------- occlusion
 def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
-                      aux_ref, att_out, *, nc: int, c: int):
+                      aux_ref, ar_out, ag_out, ab_out, *, nc: int, c: int):
     i = pl.program_id(0)
-    r = rays_ref.shape[0]
+    r = rays_ref.shape[2]
 
-    att_out[:] = jnp.ones((r, 4), jnp.float32)
+    ar_out[...] = jnp.ones((GROUP, r), jnp.float32)
+    ag_out[...] = jnp.ones((GROUP, r), jnp.float32)
+    ab_out[...] = jnp.ones((GROUP, r), jnp.float32)
 
-    parts = _ray_parts(rays_ref[:])
-    tmin = rays_ref[:, 10:11]
-    tmax = rays_ref[:, 11:12]
-    count = counts_ref[i]
-    tmax_key = _bound_key(jnp.max(rays_ref[:, 11]),
-                          params_ref[0], params_ref[1])
+    for g in range(GROUP):
+        b = i * GROUP + g
+        raysT = rays_ref[g]
+        parts = _ray_parts(raysT)
+        tmin = raysT[10:11, :]
+        tmax = raysT[11:12, :]
+        count = counts_ref[b]
+        tmax_key = _bound_key(jnp.max(tmax), params_ref[0], params_ref[1])
 
-    def cond(carry):
-        l, live = carry
-        tent_key = sched_ref[i * nc + l] // 256
-        return (l < count) & live & (tent_key <= tmax_key)
+        def cond(carry):
+            l, live, _, _, _ = carry
+            tent_key = sched_ref[b * nc + l] // 256
+            return (l < count) & live & (tent_key <= tmax_key)
 
-    def body(carry):
-        l, live = carry
-        jc = sched_ref[i * nc + l] % 256
-        res = _mt_matmul(parts, coef_ref[jc])
-        t, hit, det = _mt_epilogue(res, tmin, tmax, c)
+        def body(carry):
+            l, live, ar, ag, ab = carry
+            jc = sched_ref[b * nc + l] % 256
+            res = _mt_matmul(parts, coef_ref[jc])
+            t, hit, det = _mt_epilogue(res, tmin, tmax, c)   # [c, R]
 
-        transp = aux_ref[jc, 0:1, :]
-        sar = aux_ref[jc, 1:2, :]
-        sag = aux_ref[jc, 2:3, :]
-        sab = aux_ref[jc, 3:4, :]
-        inv_n = aux_ref[jc, 4:5, :]
-        # |cos(n, d)| = |det| / |n|  (d is unit length)
-        ndi = jnp.abs(det) * inv_n
-        c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
-        c5 = c1 * c1
-        c5 = c5 * c5 * c1
-        # refraction.cu:144-153 transparent-shadow fresnel; opaque -> 0
-        fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5), 0.0, 1.0)
-        factor = lambda sa: jnp.where(
-            hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
-        )
+            a = aux_ref[jc]                                  # [c, 8]
+            transp = a[:, 0:1]                               # [c, 1]
+            inv_n = a[:, 4:5]
+            # |cos(n, d)| = |det| / |n|  (d is unit length)
+            ndi = jnp.abs(det) * inv_n
+            c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
+            c5 = c1 * c1
+            c5 = c5 * c5 * c1
+            # refraction.cu:144-153 transparent-shadow fresnel; opaque -> 0
+            fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5), 0.0, 1.0)
+            factor = lambda sa: jnp.where(
+                hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
+            )
 
-        def lane_prod(x):
-            # exact lane-axis product via log2(c) pairwise folds
-            # (jnp.prod reductions don't lower natively on Mosaic)
-            width = c
-            while width > 1:
-                half = width // 2
-                x = x[:, :half] * x[:, half:width]
-                width = half
-            return x
+            def sub_prod(x):
+                # exact triangle-axis product via log2(c) pairwise folds
+                # (jnp.prod reductions don't lower natively on Mosaic)
+                width = c
+                while width > 1:
+                    half = width // 2
+                    x = x[:half, :] * x[half:width, :]
+                    width = half
+                return x                                     # [1, R]
 
-        prev = att_out[:]
-        upd = jnp.concatenate(
-            [lane_prod(factor(sar)), lane_prod(factor(sag)),
-             lane_prod(factor(sab)), jnp.ones((r, 1), jnp.float32)],
-            axis=1,
-        )
-        new = prev * upd
-        att_out[:] = new
-        # any-hit early-out: stop once every ray is fully occluded
-        live2 = jnp.max(new[:, 0:1] + new[:, 1:2] + new[:, 2:3]) > 0.0
-        return l + 1, live2
+            ar = ar * sub_prod(factor(a[:, 1:2]))
+            ag = ag * sub_prod(factor(a[:, 2:3]))
+            ab = ab * sub_prod(factor(a[:, 3:4]))
+            # any-hit early-out: stop once every ray is fully occluded
+            live2 = jnp.max(ar + ag + ab) > 0.0
+            return l + 1, live2, ar, ag, ab
 
-    jax.lax.while_loop(cond, body, (0, jnp.bool_(True)))
+        ones = jnp.ones((1, r), jnp.float32)
+        _, _, ar_g, ag_g, ab_g = jax.lax.while_loop(
+            cond, body, (0, jnp.bool_(True), ones, ones, ones))
+        ar_out[g:g + 1, :] = ar_g
+        ag_out[g:g + 1, :] = ag_g
+        ab_out[g:g + 1, :] = ab_g
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _occlusion_call(rays, coef, aux, clusters, interpret: bool):
-    sched, counts, params = cluster_schedule(rays, clusters)
-    return _occlusion_call_pre(rays, coef, aux, sched, counts, params,
+def _occlusion_call(raysT, coef, aux, clusters, interpret: bool):
+    sched, counts, params = cluster_schedule(raysT, clusters)
+    return _occlusion_call_pre(raysT, coef, aux, sched, counts, params,
                                interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _occlusion_call_pre(rays, coef, aux, sched, counts, params,
+def _occlusion_call_pre(raysT, coef, aux, sched, counts, params,
                         interpret: bool):
-    n_pad = rays.shape[0]
-    nb = n_pad // RAY_BLOCK
+    nb = raysT.shape[0]
     nc = coef.shape[0]
     c = coef.shape[2] // 4
+    ng = nb // GROUP
 
-    cb = _block_chunks(nb, nc)
-    if cb < nb:
+    cb = _block_chunks(nb, nc) // GROUP * GROUP
+    if 0 < cb < nb:
         outs = []
         sent = jnp.full((1,), _KEY_MAX * 256, jnp.int32)
         for b0 in range(0, nb, cb):
             b1 = min(b0 + cb, nb)
             outs.append(_occlusion_call_pre(
-                rays[b0 * RAY_BLOCK:b1 * RAY_BLOCK], coef, aux,
+                raysT[b0:b1], coef, aux,
                 jnp.concatenate([sched[b0 * nc:b1 * nc], sent]),
                 counts[b0:b1], params, interpret))
-        return jnp.concatenate(outs)
+        return [jnp.concatenate([o[k] for o in outs]) for k in range(3)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(nb,),
+        grid=(ng,),
         in_specs=[
-            pl.BlockSpec((RAY_BLOCK, 16), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, 16, RAY_BLOCK),
+                         lambda i, n, s, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 8, c), lambda i, n, s, p: (0, 0, 0),
+            pl.BlockSpec((nc, c, 8), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((RAY_BLOCK, 4), lambda i, n, s, p: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
     )
     return pl.pallas_call(
         functools.partial(_occlusion_kernel, nc=nc, c=c),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 4), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32)] * 3,
         interpret=interpret,
-    )(counts, sched, params, rays, coef, aux)
+    )(counts, sched, params, raysT, coef, aux)
 
 
-def occlusion_pallas(scene, ro, rd, t_min, t_max) -> jnp.ndarray:
-    rays, n = pack_rays16(ro, rd, t_min, t_max)
+def occlusion_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Vec3:
+    """Shadow attenuation (SoA in, SoA out)."""
+    raysT, n = pack_raysT(ro, rd, t_min, t_max)
     coef, aux, clusters = scene_pack(scene)
-    att = _occlusion_call(rays, coef, aux, clusters, _interpret())
-    return att[:n, :3]
+    ar, ag, ab = _occlusion_call(raysT, coef, aux, clusters, _interpret())
+    cut = lambda a: a.reshape(-1)[:n]
+    return Vec3(cut(ar), cut(ag), cut(ab))
 
 
 # -------------------------------------------------- ray-coherence swizzle

@@ -58,8 +58,11 @@ def sobel(gray, scale: int = 1):
 
 def rgby_opponency(rgb):
     """RGBY color opponency (shared_helper_funcs.h:66-76) ->
-    (R-G, B-Y, L) channels."""
-    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    (R-G, B-Y, L) channels. `rgb` is a planar Vec3 or an [...,3] array."""
+    if hasattr(rgb, "x"):
+        r, g, b = rgb.x, rgb.y, rgb.z
+    else:
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     R = r - (g + b) / 2.0
     G = g - (r + b) / 2.0
     B = b - (r + g) / 2.0
@@ -122,11 +125,11 @@ def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4,
         xs = (jnp.arange(w) // block) * block
         gather = lambda img: img[ys[:, None], xs[None, :]]
 
-    albedo = gbuf["albedo"]
+    albedo = gbuf["albedo"]                       # planar Vec3
     rg, by, lum = rgby_opponency(albedo)
     rg_b, by_b, lum_b = gather(rg), gather(by), gather(lum)
 
-    gray = jnp.mean(albedo, axis=-1)
+    gray = (albedo.x + albedo.y + albedo.z) / 3.0
     gx, gy = sobel(gray, scale=block)
     orient = jnp.arctan(gather(gy) / jnp.where(jnp.abs(gather(gx)) < 1e-12,
                                                1e-12, gather(gx)))
@@ -135,18 +138,19 @@ def compute_saliency(gbuf, gaze_px, bbox_diag, block: int = 4,
     s_depth = gather(depth_saliency(gbuf["depth"], gaze_px, theta, focal))
     s_shadow = gather(gbuf["shadow"])
 
-    ngray = jnp.mean(gbuf["normal"] * 0.5 + 0.5, axis=-1)
+    nrm = gbuf["normal"]
+    ngray = (nrm.x + nrm.y + nrm.z) / 6.0 + 0.5   # mean(n*0.5 + 0.5)
     ngx, ngy = sobel(ngray, scale=block)
     s_normal_grad = jnp.sqrt(gather(ngx) ** 2 + gather(ngy) ** 2)
 
     # velocity from the reprojection offset (samplingStep.cu:201-205);
-    # reproject_uv is in GLOBAL pixel coords, so py must be too
+    # reproject_u/v are in GLOBAL pixel coords, so py must be too
     px = jnp.arange(w, dtype=jnp.float32)[None, :]
     py = (jnp.arange(h, dtype=jnp.float32)
           + jnp.asarray(row_offset, jnp.float32))[:, None]
-    quv = gbuf["reproject_uv"]
-    vel = 0.5 * jnp.sqrt((px - quv[..., 0]) ** 2 + (py - quv[..., 1]) ** 2)
-    vel = jnp.where((quv[..., 0] < 0.0) & (quv[..., 1] < 0.0), 0.0, vel)
+    qu, qv = gbuf["reproject_u"], gbuf["reproject_v"]
+    vel = 0.5 * jnp.sqrt((px - qu) ** 2 + (py - qv) ** 2)
+    vel = jnp.where((qu < 0.0) & (qv < 0.0), 0.0, vel)
     s_velocity = velocity_map(vel)
 
     saliency = ((rg_b + by_b) / 2.0 + lum_b + orient) / 3.0

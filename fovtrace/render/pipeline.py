@@ -10,7 +10,7 @@ Stage map (reference -> here):
   sampling_launch  (entry 1)  -> saliency + sampling mask + cache check
   optimize_launch  (entry 2)  -> sampling.compact_rays (argsort compaction
                                  replaces warpSort's serial row loops)
-  shading_launch   (entry 3)  -> shade.shade on the compacted ray list
+  shading_launch   (entry 3)  -> shade.shade_v on the compacted ray list
                                  + temporal accumulate
   JFA/Sibson/PullPush/ATrous  -> kernels.{jfa,sibson,pullpush,atrous}
   gaze_target/ray_count readback -> returned as device arrays (no sync)
@@ -18,6 +18,11 @@ Stage map (reference -> here):
 Frame-to-frame state (history/depth caches, prev camera) is an explicit
 `FrameState` pytree instead of double-buffered GL textures
 (PathTracer::swapBuffer, PathTracer.cpp:226-238).
+
+Round-3 layout: every image buffer inside the frame is PLANAR ([H,W]
+channel planes / SoA Vec3; history is [4,H,W]) and the wavefront is SoA
+— see fovtrace.core.vec. Row-layout [H,W,C] buffers are materialized
+only for the `config.full_outputs` switchboard dict (display/debug).
 """
 
 from __future__ import annotations
@@ -31,8 +36,9 @@ from flax import struct
 
 from fovtrace.config import RenderConfig
 from fovtrace.core import color as colorx
-from fovtrace.core import reproject, rng
+from fovtrace.core import reproject, rng, vec
 from fovtrace.core.camera import Camera
+from fovtrace.core.vec import Vec3
 from fovtrace.kernels import atrous, jfa, pullpush, saliency, sampling, sibson
 from fovtrace.render import gbuffer as gbuffer_mod
 from fovtrace.render import shade as shade_mod
@@ -40,7 +46,9 @@ from fovtrace.render import shade as shade_mod
 
 @struct.dataclass
 class FrameState:
-    history: jnp.ndarray      # [H,W,4] accumulated radiance (w = #samples)
+    history: jnp.ndarray      # [4,H,W] accumulated radiance planes
+    #                           (plane 3 = #samples); channel-major so
+    #                           the minor axes are dense on TPU
     depth_cache: jnp.ndarray  # [H,W] view depth of the previous frame
     prev_camera: Camera
     frame: jnp.ndarray        # scalar int32
@@ -49,7 +57,7 @@ class FrameState:
     def initial(cls, camera: Camera, config: RenderConfig) -> "FrameState":
         h, w = config.height, config.width
         return cls(
-            history=jnp.zeros((h, w, 4), jnp.float32),
+            history=jnp.zeros((4, h, w), jnp.float32),
             depth_cache=jnp.zeros((h, w), jnp.float32),
             prev_camera=camera,
             frame=jnp.asarray(0, jnp.int32),
@@ -57,7 +65,7 @@ class FrameState:
 
 
 def stage_gbuffer(scene, camera, prev_camera, config: RenderConfig):
-    """Stage 1 (reference entry 0 / 'GB')."""
+    """Stage 1 (reference entry 0 / 'GB'). Planar G-buffers."""
     return gbuffer_mod.trace_gbuffer(
         scene, camera, prev_camera, config.width, config.height, config)
 
@@ -65,12 +73,12 @@ def stage_gbuffer(scene, camera, prev_camera, config: RenderConfig):
 def stage_sampling(scene, gbuf, gaze_px, state, config: RenderConfig):
     """Stage 2 (reference entry 1 / 'Sampling'): cache validation +
     saliency + the binary sample mask. Returns
-    (mask, sal, is_valid, q_uv, gaze_target, ray_count)."""
+    (mask, sal, is_valid, qy, qx, gaze_target, ray_count)."""
     h, w = config.height, config.width
     n_pix = h * w
-    is_valid, q_uv = reproject.validate_cache(
-        gbuf["reproject_uv"], gbuf["position"], state.depth_cache,
-        state.prev_camera.eye, w, h, config.cache_epsilon,
+    is_valid, qy, qx = reproject.validate_cache(
+        gbuf["reproject_u"], gbuf["reproject_v"], gbuf["position"],
+        state.depth_cache, state.prev_camera.eye, w, h, config.cache_epsilon,
     )
     if not config.temporal:
         is_valid = jnp.zeros_like(is_valid)
@@ -94,9 +102,12 @@ def stage_sampling(scene, gbuf, gaze_px, state, config: RenderConfig):
             h, w, gdist, sal, config.aperture, config.extra_sample_rate
         )
 
-    gaze_target = gbuf["position"][gaze_px[0], gaze_px[1]]
+    p = gbuf["position"]
+    gaze_target = jnp.stack([p.x[gaze_px[0], gaze_px[1]],
+                             p.y[gaze_px[0], gaze_px[1]],
+                             p.z[gaze_px[0], gaze_px[1]]])
     ray_count = jnp.sum(mask.astype(jnp.int32))
-    return mask, sal, is_valid, q_uv, gaze_target, ray_count
+    return mask, sal, is_valid, qy, qx, gaze_target, ray_count
 
 
 def stage_compact(mask, config: RenderConfig):
@@ -104,11 +115,11 @@ def stage_compact(mask, config: RenderConfig):
     return sampling.compact_rays(mask, config.ray_budget)
 
 
-def stage_shade(scene, camera, idx, active, q_uv, is_valid, state,
+def stage_shade(scene, camera, idx, active, qy, qx, is_valid, state,
                 config: RenderConfig, gaze_target=None):
     """Stage 4 (reference entry 3 / 'Shading'): foveated path trace of
     the compacted wavefront + temporal accumulate. Returns
-    (shading [H,W,4] normalized color, history [H,W,4], traced_mask,
+    (shading (Vec3 rgb, alpha) planar, history [4,H,W], traced_mask,
     rays_traced).
 
     With config.dof, `gaze_target` (the G-buffer hit under the gaze)
@@ -120,92 +131,102 @@ def stage_shade(scene, camera, idx, active, q_uv, is_valid, state,
     py = (idx // w).astype(jnp.float32)
     px = (idx % w).astype(jnp.float32)
 
-    c_history = reproject.fetch_history(state.history, q_uv, is_valid)
-    hist_flat = c_history.reshape(-1, 4)
-    hist_rays = hist_flat[idx]
+    c_history = reproject.fetch_history(state.history, qy, qx, is_valid)
+    hflat = c_history.reshape(4, -1)
+    hist = [hflat[c][idx] for c in range(4)]    # 4 dense [budget] gathers
 
     # seed depends on frame only once history exists
     # (fov_path_trace_camera.cu:123: frame-independent until cache valid)
-    seed_frame = jnp.where(hist_rays[:, 3] > 0.0, state.frame, 0)
+    seed_frame = jnp.where(hist[3] > 0.0, state.frame, 0)
     seeds = rng.pixel_seed(idx, seed_frame)
 
     j1, seeds = rng.rnd(seeds)
     j2, seeds = rng.rnd(seeds)
     ndc_x = (px + j1 - 0.5) / w * 2.0 - 1.0
     ndc_y = (py + j2 - 0.5) / h * 2.0 - 1.0
-    dirs = _unproject(camera, ndc_x, ndc_y, w, h)
-    origins = jnp.broadcast_to(camera.eye, dirs.shape)
+    _, dirs = camera.unproject_v(ndc_x, ndc_y, float(w) / float(h))
+    origins = vec.splat(camera.eye, dirs.shape)
 
     if config.dof and gaze_target is not None:
         u1, seeds = rng.rnd(seeds)
         u2, seeds = rng.rnd(seeds)
         focus = jnp.linalg.norm(gaze_target - camera.eye)
-        origins, dirs = camera.thin_lens_perturb(
+        origins, dirs = camera.thin_lens_perturb_v(
             dirs, focus, config.lens_radius, u1, u2)
 
-    radiance, shade_aux = shade_mod.shade(scene, origins, dirs, seeds, config)
-    tonemapped = colorx.uncharted2_tonemap(radiance, config.exposure_bias)
+    radiance, shade_aux = shade_mod.shade_v(scene, origins, dirs, seeds,
+                                            config)
+    tm = radiance.map(
+        lambda c: colorx.uncharted2_tonemap(c, config.exposure_bias))
 
     # temporal accumulate: final = tonemapped + history
-    # (fov_path_trace_camera.cu:167-175)
-    sample = jnp.concatenate(
-        [tonemapped, jnp.ones((tonemapped.shape[0], 1))], axis=-1
-    )
-    new_hist_rays = jnp.where(active[:, None], sample + hist_rays, hist_rays)
+    # (fov_path_trace_camera.cu:167-175); scatter the per-ray delta back
+    # to planes (4 dense scatters)
+    deltas = [jnp.where(active, tm.x, 0.0), jnp.where(active, tm.y, 0.0),
+              jnp.where(active, tm.z, 0.0),
+              jnp.where(active, 1.0, 0.0)]
+    safe_idx = jnp.where(active, idx, n_pix)  # OOB drops
+    scat = lambda v: (jnp.zeros((n_pix,), jnp.float32)
+                      .at[safe_idx].add(v, mode="drop").reshape(h, w))
+    delta_planes = jnp.stack([scat(d) for d in deltas], axis=0)
+    history = c_history + delta_planes
 
-    traced_mask = sampling.scatter_rays(
-        jnp.ones((config.ray_budget,), jnp.float32), idx, active, n_pix
-    ).reshape(h, w)
-    delta = sampling.scatter_rays(
-        new_hist_rays - hist_rays, idx, active, n_pix
-    ).reshape(h, w, 4)
-    history = c_history + delta
+    traced_mask = scat(jnp.ones((idx.shape[0],), jnp.float32))
 
-    shading = colorx.accumulate_to_color(history)
-    # holes: pixels with neither a traced ray nor reusable history
-    shading = shading * (history[..., 3:4] > 0.0)
-    return shading, history, traced_mask, shade_aux["rays_traced"]
+    cnt = history[3]
+    inv = jnp.where(cnt > 0.0, 1.0 / jnp.maximum(cnt, 1e-20), 0.0)
+    # holes: pixels with neither a traced ray nor reusable history stay 0
+    shading_rgb = Vec3(history[0] * inv, history[1] * inv, history[2] * inv)
+    shading_alpha = (cnt > 0.0).astype(jnp.float32)
+    return (shading_rgb, shading_alpha), history, traced_mask, \
+        shade_aux["rays_traced"]
 
 
-def stage_reconstruct(shading, gbuf, config: RenderConfig
-                      ) -> Dict[str, jnp.ndarray]:
+def stage_reconstruct(shading_rgb: Vec3, shading_alpha, gbuf,
+                      config: RenderConfig):
     """Stage 5 (the reference's GL post chain: JFA -> Sibson; PullPush ->
-    ATrous; selectable alternatives, main.cpp:336-358). Returns the recon
-    buffers plus the selected 'image'."""
-    outputs: Dict[str, jnp.ndarray] = {}
+    ATrous; selectable alternatives, main.cpp:336-358). Returns
+    (image_rgb Vec3, image_alpha, row_extras dict for full outputs)."""
     recon = config.reconstruction
-    if recon != "none":
-        # lazy: JFA feeds only the jfa/sibson reconstructors — don't pay
-        # its ~40ms when the selected output is pullpush/atrous
-        if recon in ("jfa", "sibson", "all"):
-            coord, jfa_color = jfa.jump_flood(shading)
-            outputs["jfa"] = jfa_color
+    extras: Dict[str, jnp.ndarray] = {}
+    if recon == "none":
+        return shading_rgb, shading_alpha, extras
+
+    out_rgb, out_a = shading_rgb, shading_alpha
+    if recon in ("jfa", "sibson", "all"):
+        # JFA/Sibson operate on the packed [H,W,4] layout (log2 gather
+        # passes dominate them; planarization is a follow-up)
+        sh_rows = jnp.concatenate(
+            [vec.to_rows(shading_rgb), shading_alpha[..., None]], axis=-1)
+        coord, jfa_color = jfa.jump_flood(sh_rows)
+        extras["jfa"] = jfa_color
         if recon in ("sibson", "all"):
-            outputs["sibson"] = sibson.sibson_interpolate(
-                coord, jfa_color, config.sibson_max_radius
+            extras["sibson"] = sibson.sibson_interpolate(
+                coord, jfa_color, config.sibson_max_radius)
+        if recon == "jfa":
+            out_rgb, out_a = vec.from_rows(jfa_color[..., :3]), \
+                jfa_color[..., 3]
+        elif recon == "sibson":
+            out_rgb, out_a = vec.from_rows(extras["sibson"][..., :3]), \
+                extras["sibson"][..., 3]
+    if recon in ("pullpush", "atrous", "all"):
+        pp_rgb, pp_a = pullpush.pull_push_v(shading_rgb, shading_alpha)
+        extras["pullpush"] = jnp.concatenate(
+            [vec.to_rows(pp_rgb), pp_a[..., None]], axis=-1) \
+            if config.full_outputs else None
+        out_rgb, out_a = pp_rgb, pp_a
+        if recon in ("atrous", "all"):
+            at = atrous.atrous_denoise_v(
+                pp_rgb, gbuf["position"], gbuf["normal"],
+                config.atrous_iterations, config.atrous_c_phi,
+                config.atrous_n_phi, config.atrous_p_phi,
             )
-        if recon in ("pullpush", "atrous", "all"):
-            pp = pullpush.pull_push(shading)
-            outputs["pullpush"] = pp
-            if recon in ("atrous", "all"):
-                outputs["atrous"] = jnp.concatenate(
-                    [
-                        atrous.atrous_denoise(
-                            pp[..., :3], gbuf["position"], gbuf["normal"],
-                            config.atrous_iterations, config.atrous_c_phi,
-                            config.atrous_n_phi, config.atrous_p_phi,
-                        ),
-                        pp[..., 3:4],
-                    ],
-                    axis=-1,
-                )
-        final_key = {"jfa": "jfa", "sibson": "sibson",
-                     "pullpush": "pullpush", "atrous": "atrous",
-                     "all": "atrous"}[recon]
-        outputs["image"] = outputs[final_key][..., :3]
-    else:
-        outputs["image"] = shading[..., :3]
-    return outputs
+            if config.full_outputs:
+                extras["atrous"] = jnp.concatenate(
+                    [vec.to_rows(at), pp_a[..., None]], axis=-1)
+            out_rgb, out_a = at, pp_a
+    extras = {k: v for k, v in extras.items() if v is not None}
+    return out_rgb, out_a, extras
 
 
 def render_frame(
@@ -217,8 +238,11 @@ def render_frame(
 ) -> Tuple[Dict[str, jnp.ndarray], FrameState]:
     """Render one frame. gaze_px: (gy, gx) int32 pixel coords.
 
-    Returns (outputs, new_state). `outputs` mirrors the reference's
-    keys-1..9 texture switchboard (main.cpp:396-409).
+    Returns (outputs, new_state). With config.full_outputs, `outputs`
+    mirrors the reference's keys-1..9 texture switchboard
+    (main.cpp:396-409) in the row layout; otherwise only the selected
+    image (as planar `image_rgb`/`image_alpha` + stacked `image`) and
+    the counters are returned — the training/bench fast path.
     """
     h, w = config.height, config.width
 
@@ -226,31 +250,24 @@ def render_frame(
     gbuf = stage_gbuffer(scene, camera, state.prev_camera, config)
 
     # ---- 2. sampling step (entry 1) -----------------------------------
-    mask, sal, is_valid, q_uv, gaze_target, ray_count = stage_sampling(
+    mask, sal, is_valid, qy, qx, gaze_target, ray_count = stage_sampling(
         scene, gbuf, gaze_px, state, config)
 
     # ---- 3. compaction (entry 2 / warpSort) ---------------------------
     idx, active = stage_compact(mask, config)
 
     # ---- 4. foveated shading (entry 3) --------------------------------
-    shading, history, traced_mask, shade_rays = stage_shade(
-        scene, camera, idx, active, q_uv, is_valid, state, config,
-        gaze_target=gaze_target)
+    (shading_rgb, shading_alpha), history, traced_mask, shade_rays = \
+        stage_shade(scene, camera, idx, active, qy, qx, is_valid, state,
+                    config, gaze_target=gaze_target)
 
     # ---- 5. reconstruction (GL post chain) ----------------------------
+    image_rgb, image_alpha, extras = stage_reconstruct(
+        shading_rgb, shading_alpha, gbuf, config)
+
     outputs: Dict[str, jnp.ndarray] = {
-        "position": gbuf["position"],
-        "normal": gbuf["normal"],
-        "depth": gbuf["depth"],
-        "albedo": gbuf["albedo"],
-        "weight": jnp.concatenate(
-            [gbuf["reproject_uv"], is_valid[..., None],
-             jnp.zeros((h, w, 1))], axis=-1),
-        "shading": shading,
-        "saliency": sal,
-        "saliency_view": colorx.heatmap(sal),
-        "mask": mask,
-        "traced": traced_mask,
+        "image_rgb": image_rgb,
+        "image_alpha": image_alpha,
         "gaze_target": gaze_target,
         "ray_count": ray_count,
         # honest device ray work this frame: G-buffer primary + issued
@@ -259,7 +276,26 @@ def render_frame(
         "rays_traced": gbuf["rays_traced"] + shade_rays,
     }
 
-    outputs.update(stage_reconstruct(shading, gbuf, config))
+    if config.full_outputs:
+        grows = gbuffer_mod.gbuffer_rows(gbuf)
+        outputs.update({
+            "image": vec.to_rows(image_rgb),
+            "position": grows["position"],
+            "normal": grows["normal"],
+            "depth": grows["depth"],
+            "albedo": grows["albedo"],
+            "weight": jnp.concatenate(
+                [grows["reproject_uv"], is_valid[..., None],
+                 jnp.zeros((h, w, 1))], axis=-1),
+            "shading": jnp.concatenate(
+                [vec.to_rows(shading_rgb), shading_alpha[..., None]],
+                axis=-1),
+            "saliency": sal,
+            "saliency_view": colorx.heatmap(sal),
+            "mask": mask,
+            "traced": traced_mask,
+        })
+        outputs.update(extras)
 
     new_state = FrameState(
         history=history,
@@ -271,18 +307,10 @@ def render_frame(
 
 
 def _unproject(camera: Camera, ndc_x, ndc_y, w, h):
-    """NDC -> world ray direction through the inverse MVP (matches
-    Camera.primary_rays but for flat compacted pixel lists)."""
-    from fovtrace.core import mathx
-
-    d = jnp.stack(
-        [ndc_x, ndc_y, jnp.full_like(ndc_x, -1.0), jnp.ones_like(ndc_x)],
-        axis=-1,
-    )
-    inv = camera.inv_mvp(float(w) / float(h))
-    world = jnp.einsum("ij,nj->ni", inv, d)
-    near = world[:, :3] / world[:, 3:4]
-    return mathx.normalize(near - camera.eye)
+    """NDC -> world ray direction rows (compat helper; the pipeline uses
+    camera.unproject_v directly)."""
+    _, dirs = camera.unproject_v(ndc_x, ndc_y, float(w) / float(h))
+    return vec.to_rows(dirs)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -299,5 +327,6 @@ def render_sequence(scene, cameras, gazes, config: RenderConfig,
     frames = []
     for cam, gaze in zip(cameras, gazes):
         out, state = render_frame_jit(scene, cam, gaze, state, config)
-        frames.append(out["image"])
+        frames.append(out["image"] if "image" in out
+                      else vec.to_rows(out["image_rgb"]))
     return frames, state

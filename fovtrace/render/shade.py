@@ -9,6 +9,12 @@ ray front: every iteration intersects all live rays once, evaluates all
 three material models densely, and selects by material id. Shapes are
 static; control flow is data-independent (XLA-friendly).
 
+ROUND-3 LAYOUT: the whole wavefront is struct-of-arrays (`Vec3` of [N]
+components, fovtrace.core.vec) — round 2's [N,3] state padded 42.7x
+under the TPU's T(8,128) tiling, which both OOM'd the backward pass
+(153MB per jvp residual) and wasted 42x of the VPU on every elementwise
+op. All shading math here runs at full lane utilization.
+
 Documented deviations from the reference's quirks (SURVEY.md §7 "hard
 parts" #5, #7 — parity target is the *intended* behavior):
   - The reference's diffuse GI adds the child's raw `reflectance`
@@ -27,20 +33,22 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from fovtrace.core import mathx, rng
+from fovtrace.core import rng, vec
+from fovtrace.core.vec import Vec3
 from fovtrace.kernels import intersect as isect
-from fovtrace.scene.scene import MATL_DIFFUSE, MATL_REFLECTION, MATL_REFRACTION
 
 
-def envmap_lookup(envmap: jnp.ndarray, dirs: jnp.ndarray, scale: float = 2.0):
-    """Lat-long environment lookup (gradientbg.cu:57-67).
+def envmap_lookup_v(envmap: jnp.ndarray, dirs: Vec3, scale: float = 2.0
+                    ) -> Vec3:
+    """Lat-long environment lookup (gradientbg.cu:57-67), SoA.
 
     theta = atan2(dir.x, dir.z); phi = pi/2 - acos(dir.y)
     u = (theta + pi) / 2pi; v = 0.5 * (1 + sin(phi));  radiance *= 2.
-    Bilinear lookup keeps the map differentiable.
+    Bilinear lookup keeps the map differentiable. 12 dense 1-D gathers
+    (4 corners x 3 channels) instead of 4 lane-padded [N,3] row gathers.
     """
-    theta = jnp.arctan2(dirs[..., 0], dirs[..., 2])
-    phi = jnp.pi * 0.5 - jnp.arccos(jnp.clip(dirs[..., 1], -1.0, 1.0))
+    theta = jnp.arctan2(dirs.x, dirs.z)
+    phi = jnp.pi * 0.5 - jnp.arccos(jnp.clip(dirs.y, -1.0, 1.0))
     u = (theta + jnp.pi) * (0.5 / jnp.pi)
     v = 0.5 * (1.0 + jnp.sin(phi))
     h, w = envmap.shape[0], envmap.shape[1]
@@ -50,20 +58,30 @@ def envmap_lookup(envmap: jnp.ndarray, dirs: jnp.ndarray, scale: float = 2.0):
     y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 1)
     x1 = jnp.minimum(x0 + 1, w - 1)
     y1 = jnp.minimum(y0 + 1, h - 1)
-    wx = (fx - x0)[..., None]
-    wy = (fy - y0)[..., None]
-    c = (
-        envmap[y0, x0] * (1 - wx) * (1 - wy)
-        + envmap[y0, x1] * wx * (1 - wy)
-        + envmap[y1, x0] * (1 - wx) * wy
-        + envmap[y1, x1] * wx * wy
-    )
-    return c * scale
+    wx = fx - x0
+    wy = fy - y0
+    # channel planes are tiny slices of the envmap input, CSE'd per frame
+    er, eg, eb = envmap[..., 0], envmap[..., 1], envmap[..., 2]
+
+    def bilerp(ch):
+        return (ch[y0, x0] * (1 - wx) * (1 - wy)
+                + ch[y0, x1] * wx * (1 - wy)
+                + ch[y1, x0] * (1 - wx) * wy
+                + ch[y1, x1] * wx * wy)
+
+    return Vec3(bilerp(er), bilerp(eg), bilerp(eb)) * scale
 
 
-def nee_direct(scene, point, normal, kd, seeds, config,
-               ks=None, phong_exp=None, wo=None, enabled=None):
-    """Next-event estimation against the parallelogram area light.
+def envmap_lookup(envmap: jnp.ndarray, dirs: jnp.ndarray, scale: float = 2.0):
+    """Row-API wrapper ([...,3] dirs in, [...,3] radiance out)."""
+    out = envmap_lookup_v(envmap, vec.from_rows(dirs), scale)
+    return vec.to_rows(out)
+
+
+def nee_direct_v(scene, point: Vec3, normal: Vec3, kd: Vec3, seeds, config,
+                 ks: Vec3 = None, phong_exp=None, wo: Vec3 = None,
+                 enabled=None):
+    """Next-event estimation against the parallelogram area light (SoA).
 
     One light sample + ONE shadow ray per hit (matching the reference,
     where exactly one closest-hit program runs per hit), producing both
@@ -72,17 +90,19 @@ def nee_direct(scene, point, normal, kd, seeds, config,
     (reflection.cu:89-126: Kd*nDl*Lc + Ks*(n.H)^exp * Lc); the caller
     selects per material kind.
 
-    Returns (diffuse_radiance [N,3], phong_radiance [N,3], new_seeds).
+    Returns (diffuse_radiance Vec3, phong_radiance Vec3, new_seeds).
     """
     light = scene.light
     z1, seeds = rng.rnd(seeds)
     z2, seeds = rng.rnd(seeds)
-    light_pos = light.corner + light.v1 * z1[:, None] + light.v2 * z2[:, None]
+    light_pos = vec.of(light.corner) + vec.of(light.v1) * z1 \
+        + vec.of(light.v2) * z2
     to_l = light_pos - point
-    ldist = mathx.length(to_l)
-    l = to_l / ldist[:, None]
-    ndl = jnp.sum(normal * l, axis=-1)
-    lndl = jnp.sum(light.normal * l, axis=-1)
+    ldist = vec.length(to_l)
+    l = to_l * (1.0 / jnp.maximum(ldist, 1e-20))
+    ln = vec.of(light.normal)
+    ndl = vec.dot(normal, l)
+    lndl = ln.x * l.x + ln.y * l.y + ln.z * l.z
     facing = (ndl > 0.0) & (lndl > 0.0)
 
     shadow_tmax = ldist - config.scene_epsilon
@@ -90,35 +110,34 @@ def nee_direct(scene, point, normal, kd, seeds, config,
         # disabled lanes (misses / dead rays) cost nothing: t_max = -1
         # fails every slab test in the occlusion kernel
         shadow_tmax = jnp.where(enabled & facing, shadow_tmax, -1.0)
-    atten = isect.occlusion(
+    atten = isect.occlusion_v(
         scene, point + normal * config.scene_epsilon, l,
         config.scene_epsilon, shadow_tmax,
+        backend=config.intersect_backend,
     )
     area = light.area
     weight = ndl * lndl * area / (jnp.pi * ldist * ldist)
-    lc = light.emission * weight[:, None] * atten
+    lc = vec.of(light.emission) * weight * atten
 
     diffuse_contrib = kd * lc
-    phong_contrib = kd * ndl[:, None] * lc
-    h = mathx.normalize(l - wo)
-    ndh = jnp.sum(normal * h, axis=-1)
-    spec = jnp.where(
-        ndh[:, None] > 0.0,
-        ks * lc * (jnp.maximum(ndh, 1e-9) ** phong_exp)[:, None],
-        0.0,
-    )
-    phong_contrib = phong_contrib + spec
+    phong_contrib = kd * lc * ndl
+    h = vec.normalize(l - wo)
+    ndh = vec.dot(normal, h)
+    spec_s = jnp.where(ndh > 0.0,
+                       jnp.maximum(ndh, 1e-9) ** phong_exp, 0.0)
+    phong_contrib = phong_contrib + ks * lc * spec_s
 
-    diffuse_contrib = jnp.where(facing[:, None], diffuse_contrib, 0.0)
-    phong_contrib = jnp.where(facing[:, None], phong_contrib, 0.0)
+    diffuse_contrib = vec.where(facing, diffuse_contrib, 0.0)
+    phong_contrib = vec.where(facing, phong_contrib, 0.0)
     return diffuse_contrib, phong_contrib, seeds
 
 
-def shade(scene, ro, rd, seeds, config):
-    """Trace radiance for a flat front of rays.
+def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
+    """Trace radiance for a flat front of rays (SoA).
 
-    ro, rd: [N,3]; seeds: [N] uint32 per-ray streams.
-    Returns (radiance [N,3], aux dict with first-hit point/normal/depth).
+    ro, rd: Vec3 of [N]; seeds: [N] uint32 per-ray streams.
+    Returns (radiance Vec3 of [N], aux dict with first-hit point/normal
+    (Vec3), t, rays_traced).
 
     Wavefront COMPACTION between bounces: after each bounce the surviving
     rays (diffuse GI continuations + specular above the importance
@@ -127,47 +146,48 @@ def shade(scene, ro, rd, seeds, config):
     analog of the reference's warpSort compaction, applied per bounce.
     Budgets are halves of the previous width (floor 1024); overflow rays
     beyond a budget are dropped (they are below-cutoff tails).
+
+    With config.remat_shade each bounce body is `jax.checkpoint`ed: the
+    backward pass re-runs the bounce instead of materializing its
+    residuals.
     """
-    n = ro.shape[0]
+    from fovtrace.kernels import sampling as sampling_mod
+    from fovtrace.scene.scene import (MATL_DIFFUSE, MATL_REFLECTION,
+                                      MATL_REFRACTION)
+
+    n = ro.x.shape[0]
     mats = scene.materials
 
-    result = jnp.zeros((n, 3), jnp.float32)
+    result = vec.zeros((n,))
     pix = jnp.arange(n, dtype=jnp.int32)   # original ray slot per lane
-    throughput = jnp.ones((n, 3), jnp.float32)
-    alive = jnp.ones((n,), bool)
-    origin = ro
-    direction = rd
-    first_point = jnp.zeros((n, 3), jnp.float32)
-    first_normal = jnp.zeros((n, 3), jnp.float32)
-    first_t = jnp.full((n,), isect.BIG_T, jnp.float32)
-    gi_depth = jnp.zeros((n,), jnp.int32)   # diffuse bounce counter
-    rays_traced = jnp.zeros((), jnp.int32)  # closest-hit + shadow rays
+    rays_traced = jnp.zeros((), jnp.int32)
+    aux = {}
 
-    for bounce in range(config.max_depth):
-        # dead lanes get t_max = -1: they fail every slab test, so whole
-        # dead blocks are culled by the kernel's liveness schedule
+    def bounce_body(bounce, origin, direction, throughput, seeds, gi_depth,
+                    alive):
+        """One wavefront bounce. Returns (radiance-to-scatter Vec3,
+        continuation state). Static `bounce` selects first-hit capture."""
         t_max = jnp.where(alive, isect.BIG_T, -1.0)
-        hit = isect.intersect(
-            scene, origin, direction, config.scene_epsilon, t_max
+        hit = isect.intersect_v(
+            scene, origin, direction, config.scene_epsilon, t_max,
+            backend=config.intersect_backend,
         )
         missed = alive & ~hit.valid
-        env = envmap_lookup(scene.envmap, direction, config.envmap_scale)
-        result = result.at[pix].add(
-            jnp.where(missed[:, None], throughput * env, 0.0), mode="drop"
-        )
+        env = envmap_lookup_v(scene.envmap, direction, config.envmap_scale)
+        add = vec.where(missed, throughput * env, 0.0)
 
-        surf = isect.hit_surface(scene, origin, direction, hit)
+        surf = isect.hit_surface_v(scene, origin, direction, hit)
         point = surf["point"]
-        n_sh = mathx.faceforward(surf["normal"], -direction, surf["gnormal"])
+        n_sh = vec.faceforward(surf["normal"], -direction, surf["gnormal"])
         kd = surf["kd"]
         mat_id = surf["mat_id"]
         safe_mat = jnp.maximum(mat_id, 0)
 
-        # ALL per-material parameters in ONE one-hot matmul (XLA gathers
-        # from small tables are scalar-unit-bound on TPU; a [N,M]x[M,K]
-        # matmul is ~free and keeps the table differentiable)
+        # ALL per-material parameters in ONE transposed one-hot matmul
+        # (XLA gathers from small tables are scalar-unit-bound on TPU; a
+        # [K,M]x[M,N] matmul is ~free and keeps the table differentiable)
         (kind_f, ks, pexp, refl_n, ior, extinction, refr_color, refl_color,
-         fres_exp, fres_min, fres_max) = isect.material_lookup(
+         fres_exp, fres_min, fres_max) = isect.material_lookup_v(
             mats, safe_mat,
             [("kind", 1), ("ks", 3), ("phong_exp", 1),
              ("reflectivity_n", 3), ("ior", 1), ("extinction", 3),
@@ -178,108 +198,141 @@ def shade(scene, ro, rd, seeds, config):
         kind = jnp.where(mat_id >= 0, kind_f.astype(jnp.int32), -1)
 
         live_hit = alive & hit.valid
-        rays_traced = rays_traced + jnp.sum(alive.astype(jnp.int32)) + \
+        traced = jnp.sum(alive.astype(jnp.int32)) + \
             jnp.sum(live_hit.astype(jnp.int32))
-        if bounce == 0:
-            first_point = jnp.where(hit.valid[:, None], point, first_point)
-            first_normal = jnp.where(hit.valid[:, None], n_sh, first_normal)
-            first_t = jnp.where(hit.valid, hit.t, first_t)
 
         # ---------- NEE direct lighting (diffuse + phong variants) -----
-        direct_d, direct_r, seeds = nee_direct(
+        direct_d, direct_r, seeds = nee_direct_v(
             scene, point, n_sh, kd, seeds, config,
             ks=ks, phong_exp=pexp, wo=direction, enabled=live_hit,
         )
-        cos_i = jnp.maximum(-jnp.sum(n_sh * direction, axis=-1), 0.0)
-        r_schlick = mathx.schlick_rgb(cos_i[:, None], refl_n)
+        cos_i = jnp.maximum(-vec.dot(n_sh, direction), 0.0)
+        r_schlick = vec.schlick_rgb(cos_i, refl_n)
 
         # ---------- refraction: fresnel split, single successor --------
-        t_dir, tir = mathx.refract(direction, surf["normal"], ior[:, None])
-        cos_n = jnp.sum(direction * surf["normal"], axis=-1)
+        t_dir, tir = vec.refract(direction, surf["normal"], ior)
+        cos_n = vec.dot(direction, surf["normal"])
         cos_theta = jnp.where(cos_n < 0.0, -cos_n,
-                              jnp.sum(t_dir * surf["normal"], axis=-1))
-        fres = mathx.fresnel_schlick(cos_theta, fres_exp, fres_min, fres_max)
+                              vec.dot(t_dir, surf["normal"]))
+        c1 = jnp.clip(1.0 - cos_theta, 0.0, 1.0)
+        fres = jnp.clip(fres_min + (fres_max - fres_min) * (c1 ** fres_exp),
+                        0.0, 1.0)
         fres = jnp.where(tir, 1.0, fres)
         exiting = cos_n > 0.0
-        beer = jnp.where(
-            exiting[:, None],
-            jnp.exp(extinction * surf["t_safe"][:, None]),
-            1.0,
-        )
+        beer = vec.where(
+            exiting, vec.exp(extinction * surf["t_safe"]), 1.0)
         zr, seeds = rng.rnd(seeds)
         choose_refl = zr < fres
-        refr_dir = jnp.where(choose_refl[:, None],
-                             mathx.reflect(direction, surf["normal"]), t_dir)
-        refr_weight = jnp.where(
-            choose_refl[:, None], refl_color, refr_color,
-        ) * beer * kd
+        refr_dir = vec.where(choose_refl,
+                             vec.reflect(direction, surf["normal"]), t_dir)
+        refr_weight = vec.where(choose_refl, refl_color, refr_color) \
+            * beer * kd
 
         # ---------- select by material kind ----------------------------
         is_diff = live_hit & (kind == MATL_DIFFUSE)
         is_refl = live_hit & (kind == MATL_REFLECTION)
         is_refr = live_hit & (kind == MATL_REFRACTION)
 
-        direct = jnp.where(is_diff[:, None], direct_d, 0.0) + jnp.where(
-            is_refl[:, None], direct_r, 0.0
-        )
-        result = result.at[pix].add(throughput * direct, mode="drop")
+        direct = vec.where(is_diff, direct_d, 0.0) + vec.where(
+            is_refl, direct_r, 0.0)
+        add = add + throughput * direct
 
         # continuation ray
         z1, seeds = rng.rnd(seeds)
         z2, seeds = rng.rnd(seeds)
-        gi_dir = mathx.to_world(mathx.cosine_sample_hemisphere(z1, z2), n_sh)
-        mirror_dir = mathx.reflect(direction, n_sh)
+        lx, ly, lz = vec.cosine_sample_hemisphere(z1, z2)
+        gi_dir = vec.to_world(lx, ly, lz, n_sh)
+        mirror_dir = vec.reflect(direction, n_sh)
 
-        new_dir = jnp.where(
-            is_refr[:, None], refr_dir,
-            jnp.where(is_refl[:, None], mirror_dir, gi_dir),
-        )
-        new_thr = throughput * jnp.where(
-            is_refr[:, None], refr_weight,
-            jnp.where(is_refl[:, None], r_schlick, kd),
-        )
+        new_dir = vec.where(
+            is_refr, refr_dir, vec.where(is_refl, mirror_dir, gi_dir))
+        new_thr = throughput * vec.where(
+            is_refr, refr_weight, vec.where(is_refl, r_schlick, kd))
 
         # survival: diffuse limited by diffuse_max_depth; specular by
         # importance cutoff (reflection.cu:130-136, refraction.cu:86-97)
-        importance = mathx.luminance(jnp.abs(new_thr))
+        importance = vec.luminance(vec.abs_(new_thr))
         diff_go = is_diff & (gi_depth < config.diffuse_max_depth - 1)
-        spec_go = (is_refl | is_refr) & (importance > config.importance_cutoff)
+        spec_go = (is_refl | is_refr) & \
+            (importance > config.importance_cutoff)
         go = diff_go | spec_go
 
         # offset the new origin off the surface (intersection_refinement.h)
-        side = jnp.where(
-            jnp.sum(new_dir * surf["gnormal"], axis=-1, keepdims=True) >= 0.0,
-            1.0, -1.0,
-        )
-        new_origin = point + surf["gnormal"] * side * config.scene_epsilon
+        side = jnp.where(vec.dot(new_dir, surf["gnormal"]) >= 0.0, 1.0, -1.0)
+        new_origin = point + surf["gnormal"] * (side * config.scene_epsilon)
 
-        origin = jnp.where(go[:, None], new_origin, origin)
-        direction = jnp.where(go[:, None], new_dir, direction)
-        throughput = jnp.where(go[:, None], new_thr, throughput)
+        origin = vec.where(go, new_origin, origin)
+        direction = vec.where(go, new_dir, direction)
+        throughput = vec.where(go, new_thr, throughput)
         gi_depth = jnp.where(is_diff & go, gi_depth + 1, gi_depth)
-        alive = go
+        first = (point, n_sh, hit.t, hit.valid) if bounce == 0 else None
+        return (add, origin, direction, throughput, seeds, gi_depth, go,
+                traced, first)
+
+    body = bounce_body
+    if config.remat_shade:
+        body = jax.checkpoint(bounce_body, static_argnums=(0,))
+
+    origin, direction = ro, rd
+    throughput = vec.full((n,), 1.0)
+    alive = jnp.ones((n,), bool)
+    gi_depth = jnp.zeros((n,), jnp.int32)
+
+    for bounce in range(config.max_depth):
+        (add, origin, direction, throughput, seeds, gi_depth, alive,
+         traced, first) = body(bounce, origin, direction, throughput,
+                               seeds, gi_depth, alive)
+        rays_traced = rays_traced + traced
+        # scatter this bounce's radiance back to the original ray slots
+        result = Vec3(
+            result.x.at[pix].add(add.x, mode="drop"),
+            result.y.at[pix].add(add.y, mode="drop"),
+            result.z.at[pix].add(add.z, mode="drop"),
+        )
+        if bounce == 0:
+            point, n_sh, t0, valid0 = first
+            aux["point"] = vec.where(valid0, point, 0.0)
+            aux["normal"] = vec.where(valid0, n_sh, 0.0)
+            aux["t"] = jnp.where(valid0, t0, isect.BIG_T)
 
         # ---- compact the surviving front for the next bounce -----------
         if bounce + 1 < config.max_depth:
-            from fovtrace.kernels import sampling as sampling_mod
-
-            width = origin.shape[0]
+            width = origin.x.shape[0]
             budget = max(1024, width // 2)
             if budget < width:
                 idx, active = sampling_mod.compact_mask(alive, budget)
-                gather = lambda a: a[idx]
-                origin = gather(origin)
-                direction = gather(direction)
-                throughput = gather(throughput)
-                seeds = gather(seeds)
-                gi_depth = gather(gi_depth)
-                pix = jnp.where(active, gather(pix), n)  # n = OOB drop
-                alive = active & gather(alive)
+                origin = origin.gather(idx)
+                direction = direction.gather(idx)
+                throughput = throughput.gather(idx)
+                seeds = seeds[idx]
+                gi_depth = gi_depth[idx]
+                pix = jnp.where(active, pix[idx], n)  # n = OOB drop
+                alive = active & alive[idx]
 
-    aux = {
-        "point": first_point,
-        "normal": first_normal,
-        "t": first_t,
-        "rays_traced": rays_traced,
-    }
+    aux["rays_traced"] = rays_traced
     return result, aux
+
+
+def shade(scene, ro, rd, seeds, config):
+    """Row-API wrapper: [N,3] rays in, [N,3] radiance + row aux out."""
+    radiance, aux = shade_v(scene, vec.from_rows(ro), vec.from_rows(rd),
+                            seeds, config)
+    return vec.to_rows(radiance), {
+        "point": vec.to_rows(aux["point"]),
+        "normal": vec.to_rows(aux["normal"]),
+        "t": aux["t"],
+        "rays_traced": aux["rays_traced"],
+    }
+
+
+def nee_direct(scene, point, normal, kd, seeds, config,
+               ks=None, phong_exp=None, wo=None, enabled=None):
+    """Row-API wrapper over nee_direct_v."""
+    d, p, seeds = nee_direct_v(
+        scene, vec.from_rows(point), vec.from_rows(normal),
+        vec.from_rows(kd), seeds, config,
+        ks=vec.from_rows(ks) if ks is not None else None,
+        phong_exp=phong_exp,
+        wo=vec.from_rows(wo) if wo is not None else None,
+        enabled=enabled)
+    return vec.to_rows(d), vec.to_rows(p), seeds

@@ -23,7 +23,9 @@ import jax.numpy as jnp
 
 from fovtrace.config import RenderConfig
 from fovtrace.core import color as colorx
+from fovtrace.core import vec
 from fovtrace.kernels import atrous, jfa, pullpush, sibson
+from fovtrace.render import gbuffer as gbuffer_mod
 from fovtrace.render import pipeline
 
 
@@ -36,15 +38,15 @@ def _jitted_stages(config: RenderConfig):
         sc, gbuf, gaze, st, config))
     s_opt = jax.jit(lambda m: pipeline.stage_compact(m, config))
     s_shade = jax.jit(
-        lambda sc, cam, idx, act, quv, val, st, gt: pipeline.stage_shade(
-            sc, cam, idx, act, quv, val, st, config, gaze_target=gt))
+        lambda sc, cam, idx, act, qy, qx, val, st, gt: pipeline.stage_shade(
+            sc, cam, idx, act, qy, qx, val, st, config, gaze_target=gt))
 
     s_jfa = jax.jit(lambda sh: jfa.jump_flood(sh))
     s_si = jax.jit(lambda co, col: sibson.sibson_interpolate(
         co, col, config.sibson_max_radius))
-    s_ppi = jax.jit(pullpush.pull_push)
-    s_at = jax.jit(lambda pp, p, n: atrous.atrous_denoise(
-        pp[..., :3], p, n, config.atrous_iterations, config.atrous_c_phi,
+    s_ppi = jax.jit(pullpush.pull_push_v)
+    s_at = jax.jit(lambda pp_rgb, p, n: atrous.atrous_denoise_v(
+        pp_rgb, p, n, config.atrous_iterations, config.atrous_c_phi,
         config.atrous_n_phi, config.atrous_p_phi))
     return s_gb, s_samp, s_opt, s_shade, s_jfa, s_si, s_ppi, s_at
 
@@ -65,7 +67,7 @@ def render_frame_staged(scene, camera, gaze_px, state,
         box["result"] = gbuf
 
     with timer.stage("Sampling") as box:
-        mask, sal, is_valid, q_uv, gaze_target, ray_count = s_samp(
+        mask, sal, is_valid, qy, qx, gaze_target, ray_count = s_samp(
             scene, gbuf, gaze_px, state)
         box["result"] = (mask, sal)
 
@@ -74,16 +76,20 @@ def render_frame_staged(scene, camera, gaze_px, state,
         box["result"] = idx
 
     with timer.stage("Shading") as box:
-        shading, history, traced_mask, shade_rays = s_shade(
-            scene, camera, idx, active, q_uv, is_valid, state, gaze_target)
-        box["result"] = shading
+        (shading_rgb, shading_alpha), history, traced_mask, shade_rays = \
+            s_shade(scene, camera, idx, active, qy, qx, is_valid, state,
+                    gaze_target)
+        box["result"] = shading_rgb
 
+    shading_rows = jnp.concatenate(
+        [vec.to_rows(shading_rgb), shading_alpha[..., None]], axis=-1)
+    grows = gbuffer_mod.gbuffer_rows(gbuf)
     outputs: Dict[str, jnp.ndarray] = {
-        "position": gbuf["position"],
-        "normal": gbuf["normal"],
-        "depth": gbuf["depth"],
-        "albedo": gbuf["albedo"],
-        "shading": shading,
+        "position": grows["position"],
+        "normal": grows["normal"],
+        "depth": grows["depth"],
+        "albedo": grows["albedo"],
+        "shading": shading_rows,
         "saliency": sal,
         "saliency_view": colorx.heatmap(sal),
         "mask": mask,
@@ -95,7 +101,7 @@ def render_frame_staged(scene, camera, gaze_px, state,
 
     if recon in ("jfa", "sibson", "all"):
         with timer.stage("JFA") as box:
-            coord, jfa_color = s_jfa(shading)
+            coord, jfa_color = s_jfa(shading_rows)
             box["result"] = jfa_color
         outputs["jfa"] = jfa_color
     if recon in ("sibson", "all"):
@@ -104,21 +110,23 @@ def render_frame_staged(scene, camera, gaze_px, state,
             box["result"] = outputs["sibson"]
     if recon in ("pullpush", "atrous", "all"):
         with timer.stage("PPI") as box:
-            pp = s_ppi(shading)
-            box["result"] = pp
-        outputs["pullpush"] = pp
+            pp_rgb, pp_a = s_ppi(shading_rgb, shading_alpha)
+            box["result"] = pp_a
+        outputs["pullpush"] = jnp.concatenate(
+            [vec.to_rows(pp_rgb), pp_a[..., None]], axis=-1)
         if recon in ("atrous", "all"):
             with timer.stage("AT") as box:
-                at = s_at(pp, gbuf["position"], gbuf["normal"])
+                at = s_at(pp_rgb, gbuf["position"], gbuf["normal"])
                 box["result"] = at
-            outputs["atrous"] = jnp.concatenate([at, pp[..., 3:4]], axis=-1)
+            outputs["atrous"] = jnp.concatenate(
+                [vec.to_rows(at), pp_a[..., None]], axis=-1)
     if recon != "none":
         final_key = {"jfa": "jfa", "sibson": "sibson",
                      "pullpush": "pullpush", "atrous": "atrous",
                      "all": "atrous"}[recon]
         outputs["image"] = outputs[final_key][..., :3]
     else:
-        outputs["image"] = shading[..., :3]
+        outputs["image"] = shading_rows[..., :3]
 
     new_state = pipeline.FrameState(
         history=history,

@@ -159,13 +159,15 @@ class Scene:
     # fovtrace.kernels.pallas_isect — MXU determinant coefficients,
     # occlusion aux rows, cluster AABBs)
     isect_coef: Optional[jnp.ndarray] = None      # [NC, 16, 4c]
-    isect_aux: Optional[jnp.ndarray] = None       # [NC, 8, c]
+    isect_aux: Optional[jnp.ndarray] = None       # [NC, c, 8]
     cluster_aabb: Optional[jnp.ndarray] = None    # [NC, 8]
 
-    # packed per-triangle shading attributes [T, 24]: n0 n1 n2 (9), gn
-    # (3), uv0 uv1 uv2 (6), mat_id (1), pad — ONE row gather replaces ~10
-    # scattered gathers in hit_surface (XLA gathers are slow on TPU)
-    tri_attr: Optional[jnp.ndarray] = None
+    # TRANSPOSED per-triangle shading attributes [19, T]: rows are
+    # n0 n1 n2 (9), gn (3), u0 v0 u1 v1 u2 v2 (6), mat_id (1). Attribute-
+    # major so each hit_surface fetch is a dense full-lane 1-D gather —
+    # a [T, 24] AoS pack would force lane-padded [N, 24] gather results
+    # (T(8,128) pads 24 -> 128 on TPU)
+    tri_attrT: Optional[jnp.ndarray] = None
 
     @property
     def has_bvh(self) -> bool:
@@ -211,15 +213,16 @@ class Scene:
         gn = jnp.cross(self.e1, self.e2)
         gn = gn / jnp.maximum(
             jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-        attr = jnp.concatenate(
-            [self.n0, self.n1, self.n2, gn,
-             self.uv0, self.uv1, self.uv2,
-             self.mat_id[:, None].astype(jnp.float32),
-             jnp.zeros((self.num_triangles, 5), jnp.float32)],
-            axis=1,
+        attrT = jnp.concatenate(
+            [self.n0.T, self.n1.T, self.n2.T, gn.T,
+             jnp.stack([self.uv0[:, 0], self.uv0[:, 1],
+                        self.uv1[:, 0], self.uv1[:, 1],
+                        self.uv2[:, 0], self.uv2[:, 1]], axis=0),
+             self.mat_id[None, :].astype(jnp.float32)],
+            axis=0,
         )
         return self.replace(isect_coef=coef, isect_aux=aux,
-                            cluster_aabb=clusters, tri_attr=attr)
+                            cluster_aabb=clusters, tri_attrT=attrT)
 
     @property
     def num_triangles(self) -> int:

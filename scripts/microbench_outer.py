@@ -37,35 +37,36 @@ def main():
     from fovtrace.kernels import pallas_isect as pi
     from fovtrace.scene import procedural
 
+    from fovtrace.core import vec
+
     scene = procedural.SCENES["earth"]()
     n = 2 * 1024 * 1024
     cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
     w = 2048
     h = n // w
-    ro, rd = cam.primary_rays(w, h)
-    ro = jnp.asarray(ro.reshape(-1, 3))[:n]
-    rd = jnp.asarray(rd.reshape(-1, 3))[:n]
+    rov, rdv = cam.primary_rays_v(w, h)
     perm = pi.tile_swizzle_indices(h, w, 16)[:n]
-    ro, rd = ro[perm], rd[perm]
+    ro = rov.map(lambda a: a.reshape(-1)[:n][perm])
+    rd = rdv.map(lambda a: a.reshape(-1)[:n][perm])
     jax.block_until_ready((ro, rd))
 
     coef, aux, clusters = pi.scene_pack(scene)
     jax.block_until_ready((coef, aux, clusters))
 
-    f_pack = jax.jit(lambda o, d: pi.pack_rays16(o, d, 1e-3, isect.BIG_T)[0])
-    _, rays = timeit(f_pack, ro, rd, name="pack_rays16")
+    f_pack = jax.jit(lambda o, d: pi.pack_raysT(o, d, 1e-3, isect.BIG_T)[0])
+    _, rays = timeit(f_pack, ro, rd, name="pack_raysT")
 
     f_live = jax.jit(lambda r: pi.block_liveness(r, clusters))
     timeit(f_live, rays, name="block_liveness")
 
     f_sched = jax.jit(lambda r: pi.cluster_schedule(r, clusters))
-    _, (sched, counts) = timeit(f_sched, rays, name="cluster_schedule (incl. argsort)")
+    _, (sched, counts, params) = timeit(
+        f_sched, rays, name="cluster_schedule (incl. argsort)")
 
-    f_call = jax.jit(lambda r, s, c: pi._closest_call_pre(r, coef, clusters,
-                                                          s, c, False)) \
-        if hasattr(pi, "_closest_call_pre") else None
-    if f_call is not None:
-        timeit(f_call, rays, sched, counts, name="pallas_call only")
+    interp = jax.default_backend() != "tpu"
+    f_call = jax.jit(lambda r, s, c, p: pi._closest_call_pre(
+        r, coef, s, c, p, interp))
+    timeit(f_call, rays, sched, counts, params, name="pallas_call only")
 
     f_all = jax.jit(lambda o, d: pi.intersect_pallas(scene, o, d, 1e-3,
                                                      isect.BIG_T))

@@ -88,18 +88,19 @@ def main():
     )(scene, cam, state2.prev_camera)
     jax.block_until_ready(gbuf)
 
-    # primary rays for isolated intersect/occlusion timing
-    ro, rd = cam.primary_rays(w, h)
-    ro_f = jnp.asarray(ro.reshape(-1, 3))
-    rd_f = jnp.asarray(rd.reshape(-1, 3))
+    # primary rays for isolated intersect/occlusion timing (SoA)
+    from fovtrace.core import vec
+    rov, rdv = cam.primary_rays_v(w, h)
+    ro_f = rov.map(lambda a: a.reshape(-1))
+    rd_f = rdv.map(lambda a: a.reshape(-1))
 
     # ---- isolated kernels ----------------------------------------------
-    f_isect = jax.jit(lambda s, o, d: isect.intersect(
+    f_isect = jax.jit(lambda s, o, d: isect.intersect_v(
         s, o, d, config.scene_epsilon, isect.BIG_T))
     rows.append(("gb_intersect_2.1Mray", timeit(
         f_isect, scene, ro_f, rd_f, iters=args.iters, name="gb_intersect")))
 
-    f_occl = jax.jit(lambda s, o, d: isect.occlusion(
+    f_occl = jax.jit(lambda s, o, d: isect.occlusion_v(
         s, o, d, config.scene_epsilon, isect.BIG_T))
     rows.append(("gb_occlusion_2.1Mray", timeit(
         f_occl, scene, ro_f, rd_f, iters=args.iters, name="gb_occlusion")))
@@ -126,18 +127,18 @@ def main():
         f_sampling_j, gbuf, state2.frame, iters=args.iters, name="sampling")))
     sal, mask, idx, active = f_sampling_j(gbuf, state2.frame)
 
-    # ---- shading on the compacted wavefront ------------------------------
+    # ---- shading on the compacted wavefront (SoA) -------------------------
     py = (idx // w).astype(jnp.float32)
     px = (idx % w).astype(jnp.float32)
     seeds = rng.pixel_seed(idx, state2.frame)
-    j1, seeds_ = rng.rnd(seeds)
     ndc_x = (px + 0.5) / w * 2.0 - 1.0
     ndc_y = (py + 0.5) / h * 2.0 - 1.0
-    dirs = pipeline._unproject(cam, ndc_x, ndc_y, w, h)
-    origins = jnp.broadcast_to(cam.eye, dirs.shape)
+    _, dirs = cam.unproject_v(ndc_x, ndc_y, float(w) / float(h))
+    origins = vec.splat(cam.eye, dirs.shape)
     jax.block_until_ready((dirs, origins, seeds))
 
-    f_shade = jax.jit(lambda s, o, d, sd: shade_mod.shade(s, o, d, sd, config))
+    f_shade = jax.jit(lambda s, o, d, sd: shade_mod.shade_v(s, o, d, sd,
+                                                            config))
     rows.append((f"shade_fwd_{config.ray_budget//1024}k", timeit(
         f_shade, scene, origins, dirs, seeds, iters=args.iters, name="shade_fwd")))
 
@@ -146,16 +147,18 @@ def main():
         s2 = scene.replace(
             light=scene.light.replace(emission=emission),
             materials=scene.materials.replace(kd=kd))
-        r, _ = shade_mod.shade(s2, o, d, sd, config)
-        return jnp.mean(r)
+        r, _ = shade_mod.shade_v(s2, o, d, sd, config)
+        return vec.mean_reduce(r)
 
     f_shade_bwd = jax.jit(jax.grad(shade_loss, argnums=(0, 1)))
     rows.append(("shade_fwd+bwd", timeit(
         f_shade_bwd, scene.light.emission, scene.materials.kd,
         origins, dirs, seeds, iters=args.iters, name="shade_fwd+bwd")))
 
-    # ---- reconstruction --------------------------------------------------
+    # ---- reconstruction (planar) ------------------------------------------
     shading = out2["shading"]
+    sh_rgb = vec.from_rows(shading[..., :3])
+    sh_a = shading[..., 3]
     position = gbuf["position"]
     normal = gbuf["normal"]
     jax.block_until_ready((shading, position, normal))
@@ -163,15 +166,15 @@ def main():
     f_jfa = jax.jit(jfa.jump_flood)
     rows.append(("jfa", timeit(f_jfa, shading, iters=args.iters, name="jfa")))
 
-    f_pp = jax.jit(pullpush.pull_push)
-    rows.append(("pullpush", timeit(f_pp, shading, iters=args.iters,
+    f_pp = jax.jit(pullpush.pull_push_v)
+    rows.append(("pullpush", timeit(f_pp, sh_rgb, sh_a, iters=args.iters,
                                     name="pullpush")))
 
-    pp = f_pp(shading)
-    f_at = jax.jit(lambda c, p, n: atrous.atrous_denoise(
+    pp_rgb, pp_a = f_pp(sh_rgb, sh_a)
+    f_at = jax.jit(lambda c, p, n: atrous.atrous_denoise_v(
         c, p, n, config.atrous_iterations, config.atrous_c_phi,
         config.atrous_n_phi, config.atrous_p_phi))
-    rows.append(("atrous", timeit(f_at, pp[..., :3], position, normal,
+    rows.append(("atrous", timeit(f_at, pp_rgb, position, normal,
                                   iters=args.iters, name="atrous")))
 
     try:
@@ -188,17 +191,22 @@ def main():
     rows.append(("full_fwd", timeit(
         fwd, scene, cam, gaze, state2, iters=args.iters, name="full_fwd")))
 
-    def loss_fn(emission, kd, st):
+    # bench-identical loss: light + materials + CAMERA POSE grads,
+    # minimal outputs (full_outputs=False)
+    cfg_min = config.replace(full_outputs=False)
+
+    def loss_fn(emission, kd, eye, target, st):
         s2 = scene.replace(
             light=scene.light.replace(emission=emission),
             materials=scene.materials.replace(kd=kd))
-        o, _ = pipeline.render_frame(s2, cam, gaze, st, config)
-        return jnp.mean(o["image"])
+        c2 = cam.replace(eye=eye, target=target)
+        o, _ = pipeline.render_frame(s2, c2, gaze, st, cfg_min)
+        return vec.mean_reduce(o["image_rgb"])
 
-    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1)))
+    fwdbwd = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))
     rows.append(("full_fwd+bwd", timeit(
-        fwdbwd, scene.light.emission, scene.materials.kd, state2,
-        iters=args.iters, name="full_fwd+bwd")))
+        fwdbwd, scene.light.emission, scene.materials.kd, cam.eye,
+        cam.target, state2, iters=args.iters, name="full_fwd+bwd")))
 
     # ---- report -----------------------------------------------------------
     lines = ["# Stage profile (TPU)", "",

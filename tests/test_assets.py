@@ -63,7 +63,8 @@ class TestSceneFromObj:
         cam = Camera.create(eye=(0.0, 2.0, 0.01), target=(0.0, 0.0, 0.0))
         config = RenderConfig(width=32, height=32, reconstruction="none",
                               sampling_mode="full")
-        gbuf = gbuffer.trace_gbuffer(sc, cam, cam, 32, 32, config)
+        gbuf = gbuffer.gbuffer_rows(
+            gbuffer.trace_gbuffer(sc, cam, cam, 32, 32, config))
         albedo = np.asarray(gbuf["albedo"])
         hit = np.asarray(gbuf["hit_valid"])
         assert hit.sum() > 100  # quad fills most of the view

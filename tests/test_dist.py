@@ -86,9 +86,15 @@ def test_sharded_pullpush_matches():
 
     want = pullpush.pull_push(sparse)
 
+    def body(sp):
+        from fovtrace.core import vec
+
+        rgb, a = recon_mod.pull_push_sharded(
+            vec.from_rows(sp[..., :3]), sp[..., 3], axis_name=shd.AXIS)
+        return jnp.concatenate([vec.to_rows(rgb), a[..., None]], axis=-1)
+
     f = jax.jit(jax.shard_map(
-        partial(recon_mod.pull_push_sharded, axis_name=shd.AXIS),
-        mesh=mesh, in_specs=P(shd.AXIS), out_specs=P(shd.AXIS),
+        body, mesh=mesh, in_specs=P(shd.AXIS), out_specs=P(shd.AXIS),
     ))
     got = f(sparse)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -114,10 +120,14 @@ def test_sharded_atrous_matches():
         want = atrous.atrous_denoise(color, pos, nrm, iters, 1.0, 0.5, 0.5)
 
         def body(c, p, n):
+            from fovtrace.core import vec
+
             tile = jax.lax.axis_index(shd.AXIS)
             y0 = tile * (h // 8)
-            return recon_mod.atrous_sharded(
-                c, p, n, iters, 1.0, 0.5, 0.5, shd.AXIS, y0, h)
+            out = recon_mod.atrous_sharded(
+                vec.from_rows(c), vec.from_rows(p), vec.from_rows(n),
+                iters, 1.0, 0.5, 0.5, shd.AXIS, y0, h)
+            return vec.to_rows(out)
 
         f = jax.jit(jax.shard_map(
             body, mesh=mesh,

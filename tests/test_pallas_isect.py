@@ -7,9 +7,14 @@ import jax.numpy as jnp
 import pytest
 
 from fovtrace import Camera
+from fovtrace.core import vec
 from fovtrace.kernels import intersect as isect
 from fovtrace.kernels import pallas_isect
 from fovtrace.scene import procedural
+
+
+def _v(rows):
+    return vec.from_rows(jnp.asarray(rows))
 
 
 @pytest.mark.parametrize("scene_name", ["box", "earth", "multi"])
@@ -20,7 +25,8 @@ def test_closest_hit_matches_brute(scene_name):
     ro = ro.reshape(-1, 3)
     rd = rd.reshape(-1, 3)
     hb = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
-    hp = pallas_isect.intersect_pallas(scene, ro, rd, 1e-3, isect.BIG_T)
+    hp = pallas_isect.intersect_pallas(scene, _v(ro), _v(rd), 1e-3,
+                                       isect.BIG_T)
     tb = np.asarray(hb.tri)
     tp = np.asarray(hp.tri)
     # bf16 candidate selection may flip the winner ID exactly on shared
@@ -55,7 +61,8 @@ def test_occlusion_matches_brute(scene_name):
     l = to_l / ld[:, None]
     o = surf["point"] + surf["gnormal"] * 1e-3
     ab = isect.occlusion_brute(scene, o, l, 1e-3, ld - 1e-3)
-    ap = pallas_isect.occlusion_pallas(scene, o, l, 1e-3, ld - 1e-3)
+    ap = vec.to_rows(pallas_isect.occlusion_pallas(scene, _v(o), _v(l),
+                                                   1e-3, ld - 1e-3))
     np.testing.assert_allclose(np.asarray(ab), np.asarray(ap),
                                rtol=1e-4, atol=1e-4)
 
@@ -69,7 +76,7 @@ def test_pack_shapes():
     c = coef.shape[2] // 4            # adaptive cluster width
     assert c % pallas_isect.CLUSTER == 0
     assert nc <= pallas_isect.MAX_CLUSTERS
-    assert aux.shape == (nc, 8, c)
+    assert aux.shape == (nc, c, 8)
     assert cl.shape == (nc, 8)
     # cluster AABBs contain their (valid) triangles
     valid = np.asarray(scene.mat_id) >= 0
@@ -86,5 +93,6 @@ def test_ragged_ray_count():
     ro = ro.reshape(-1, 3)[:100]
     rd = rd.reshape(-1, 3)[:100]
     hb = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
-    hp = pallas_isect.intersect_pallas(scene, ro, rd, 1e-3, isect.BIG_T)
+    hp = pallas_isect.intersect_pallas(scene, _v(ro), _v(rd), 1e-3,
+                                       isect.BIG_T)
     np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hp.tri))

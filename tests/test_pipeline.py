@@ -50,8 +50,8 @@ class TestPipeline:
         config, scene, cam, state, gaze = setup
         out1, st1 = pipeline.render_frame_jit(scene, cam, gaze, state, config)
         out2, st2 = pipeline.render_frame_jit(scene, cam, gaze, st1, config)
-        w1 = np.asarray(st1.history[..., 3])
-        w2 = np.asarray(st2.history[..., 3])
+        w1 = np.asarray(st1.history[3])   # [4,H,W]: plane 3 = #samples
+        w2 = np.asarray(st2.history[3])
         assert w2.max() > w1.max()          # history grows where cache hits
         assert int(st2.frame) == 2
 
