@@ -78,6 +78,13 @@ def load_scene(name: str):
 
     if name in procedural.SCENES:
         return procedural.SCENES[name]()
+    if name == "reference" or os.path.isdir(name):
+        # the reference's shipped assets (CedarCity.hdr, grid.ppm,
+        # bunny.{mtl,PPM}, vokselia_spawn.{mtl,png})
+        from fovtrace.scene import assets
+
+        return assets.reference_assets_scene(
+            "/root/reference/resource" if name == "reference" else name)
     if os.path.exists(name) and name.endswith(".obj"):
         # full OBJ+MTL pipeline: per-face materials + map_Kd textures
         # (reference load_obj, PathTracer.cpp:676-772)

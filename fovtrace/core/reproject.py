@@ -10,10 +10,12 @@ All functions are pure; the frame-to-frame state (history/depth caches)
 is threaded by the caller instead of double-buffered GL textures
 (`PathTracer::swapBuffer` PathTracer.cpp:226-238).
 
-Round-3 layout: planar — reprojection uv as separate [H,W] planes, hit
-positions as SoA Vec3, the history cache as ONE [4,H,W] channel-major
-array (an [H,W,4] array tiles T(8,128) on TPU, padding the 4-wide minor
-axis to 128 lanes = 32x memory/traffic).
+Layout: reprojection uv as [H,W] planes, positions as SoA Vec3, the
+history cache as [4,H,W] channel planes for the elementwise/scatter side
+— but the per-pixel FETCH goes through ONE [H,W,5] row gather of the
+combined (rgb, count, depth) cache: the TPU gather engine moves a row
+per index, so one row gather costs what a single scalar gather does
+(~23ms at 2M pixels) while five separate gathers cost 5x that.
 """
 
 from __future__ import annotations
@@ -24,17 +26,12 @@ from fovtrace.core import vec
 from fovtrace.core.vec import Vec3
 
 
-def validate_cache(ru, rv, position: Vec3, depth_cache, prev_eye,
-                   width, height, epsilon):
-    """Per-pixel cache validity (samplingStep.cu:94-141).
+def reproject_indices(ru, rv, width, height):
+    """Clamped integer prev-frame indices + in-range mask
+    (samplingStep.cu:94-141 bounds logic).
 
-    ru, rv:       [H,W] pixel-space uv into the previous frame (-1 = miss)
-    position:     Vec3 of [H,W] current world hit position
-    depth_cache:  [H,W]   previous frame view depths
-    prev_eye:     [3]     previous camera position
-
-    Returns (is_valid [H,W] float, qy [H,W] i32, qx [H,W] i32).
-    """
+    ru, rv: [H,W] pixel-space uv into the previous frame (-1 = miss).
+    Returns (in_range [H,W] bool, qy [H,W] i32, qx [H,W] i32)."""
     in_range = (
         (ru > -1.0) & (rv > -1.0)
         & (ru >= 0.0) & (ru < width - 0.5)
@@ -42,22 +39,58 @@ def validate_cache(ru, rv, position: Vec3, depth_cache, prev_eye,
     )
     qx = jnp.clip(jnp.round(ru), 0, width - 1).astype(jnp.int32)
     qy = jnp.clip(jnp.round(rv), 0, height - 1).astype(jnp.int32)
-    prev_depth = depth_cache[qy, qx]
+    return in_range, qy, qx
+
+
+def fetch_cache(history, depth_cache, qy, qx):
+    """ONE row gather of the combined temporal cache.
+
+    history: [4,H,W] planes; depth_cache: [H,W].
+    Returns [H,W,5] rows: r,g,b,count,prev_depth at the reprojected
+    pixel. The [H,W,5] stack/gather are lane-padded on TPU but consumed
+    fused — one gather beats five 20x over (see module docstring)."""
+    cache_rows = jnp.stack(
+        [history[0], history[1], history[2], history[3], depth_cache],
+        axis=-1)
+    return cache_rows[qy, qx]
+
+
+def validate_cache(ru, rv, position: Vec3, depth_cache, prev_eye,
+                   width, height, epsilon, history=None):
+    """Per-pixel cache validity (samplingStep.cu:94-141).
+
+    Returns (is_valid [H,W] float, qy, qx, fetched [H,W,5] | None):
+    with `history` given, the combined cache fetch is shared with the
+    caller (the shading stage reuses it instead of re-gathering).
+    """
+    in_range, qy, qx = reproject_indices(ru, rv, width, height)
+    if history is not None:
+        fetched = fetch_cache(history, depth_cache, qy, qx)
+        prev_depth = fetched[..., 4]
+    else:
+        fetched = None
+        prev_depth = depth_cache[qy, qx]
     cur_depth = vec.length(position - vec.of(prev_eye))
     hit = jnp.abs(prev_depth - cur_depth) < epsilon
     is_valid = jnp.where(in_range & hit, 1.0, 0.0)
-    return is_valid, qy, qx
+    return is_valid, qy, qx, fetched
+
+
+def history_from_fetch(fetched, is_valid):
+    """[H,W,5] fetched cache rows -> [4,H,W] history planes, zeroed
+    where the reprojected entry is invalid
+    (fov_path_trace_camera.cu:86-93)."""
+    ok = is_valid > 0.0
+    return jnp.stack([jnp.where(ok, fetched[..., c], 0.0)
+                      for c in range(4)], axis=0)
 
 
 def fetch_history(history_cache, qy, qx, is_valid):
-    """History lookup for cache-valid pixels (fov_path_trace_camera.cu:86-93).
-
-    history_cache: [4,H,W] accumulated color planes (plane 3 = #samples)
-    qy, qx:        [H,W] integer indices into the previous frame
-    is_valid:      [H,W] 1.0 where the reprojected cache entry is usable
-
-    Returns [4,H,W] (rgb + count planes), zeros where invalid.
-    """
+    """History-only lookup (compat; prefer the shared validate_cache
+    fetch). history_cache: [4,H,W]."""
     ok = is_valid > 0.0
-    g = lambda c: jnp.where(ok, history_cache[c][qy, qx], 0.0)
-    return jnp.stack([g(0), g(1), g(2), g(3)], axis=0)
+    rows = jnp.stack([history_cache[0], history_cache[1],
+                      history_cache[2], history_cache[3]], axis=-1)
+    f = rows[qy, qx]
+    return jnp.stack([jnp.where(ok, f[..., c], 0.0) for c in range(4)],
+                     axis=0)

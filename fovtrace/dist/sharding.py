@@ -109,9 +109,10 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
                                      w, h, config, y0=y0, block_h=bh)
 
     # ---- 2. sampling: cache check + saliency (haloed) + mask -------------
-    is_valid, qy, qx = reproject.validate_cache(
+    is_valid, qy, qx, fetched = reproject.validate_cache(
         gbuf["reproject_u"], gbuf["reproject_v"], gbuf["position"],
         depth_full, state.prev_camera.eye, w, h, config.cache_epsilon,
+        history=hist_full,
     )
     if not config.temporal:
         is_valid = jnp.zeros_like(is_valid)
@@ -171,9 +172,10 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
 
     # ---- 4. shading (global pixel ids -> identical seeds/jitter) ---------
     gidx = idx + y0 * w
-    c_history = reproject.fetch_history(hist_full, qy, qx, is_valid)
-    hflat = c_history.reshape(4, -1)
-    hist = [hflat[c][idx] for c in range(4)]
+    c_history = reproject.history_from_fetch(fetched, is_valid)
+    hrows = fetched.reshape(-1, 5)[idx]
+    vray = is_valid.reshape(-1)[idx] > 0.0
+    hist = [jnp.where(vray, hrows[:, c], 0.0) for c in range(4)]
     seed_frame = jnp.where(hist[3] > 0.0, state.frame, 0)
     seeds = rng.pixel_seed(gidx, seed_frame)
 

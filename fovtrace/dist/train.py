@@ -74,17 +74,84 @@ def render_rows_dense(scene, camera, params: TrainParams, y0, block_h: int,
     return img.reshape(block_h, w, 3)
 
 
+def render_rows_foveated(scene, camera, params: TrainParams, y0,
+                         block_h: int, config: RenderConfig, frame,
+                         soft: bool = False):
+    """DIFFERENTIABLE foveated render of one row block: the gaze field
+    (params.gaze_uv, normalized [0,1]^2) drives a Weier sampling-rate
+    falloff (samplingStep.cu:150-156); sampled radiance is reconstructed
+    by the alpha-weighted pull-push pyramid. Gradients reach gaze_uv
+    through the sample weights (SURVEY.md §7 hard part 3):
+
+      - soft=True: the EXPECTED reconstruction — rate-blend of the sharp
+        image with its neighborhood average,
+            E[recon] ~ rate*img + (1-rate)*blur(img)
+        (a hole interpolates its neighbors; a sampled pixel keeps its
+        value). Smooth in gaze everywhere — used for FD checks and as a
+        well-behaved surrogate loss.
+      - soft=False: one hard Bernoulli mask realization + the real
+        pull-push reconstruction, with a STRAIGHT-THROUGH alpha
+        (value = hard, dL/dalpha flows as if soft). Gradient signal
+        comes from hole pixels, whose fill is an alpha-weighted
+        neighbor average (pullFS/pushFS weights) — the production
+        estimator of the soft surrogate above.
+
+    Returns [block_h, w, 3] reconstructed rows.
+    """
+    from fovtrace.core import vec
+    from fovtrace.kernels import pullpush, sampling
+
+    h, w = config.height, config.width
+    img = render_rows_dense(scene, camera, params, y0, block_h, config,
+                            frame)
+
+    gy = params.gaze_uv[1] * (h - 1)
+    gx = params.gaze_uv[0] * (w - 1)
+    py = (jnp.arange(block_h, dtype=jnp.float32)[:, None]
+          + jnp.asarray(y0, jnp.float32))
+    px = jnp.arange(w, dtype=jnp.float32)[None, :]
+    gdist = jnp.sqrt((px - gx) ** 2 + (py - gy) ** 2) / jnp.sqrt(
+        float(w) ** 2 + float(h) ** 2)
+    rate = sampling.weier_sample_rate(gdist, config.aperture, config.p_min)
+
+    rgb = vec.Vec3(img[..., 0], img[..., 1], img[..., 2])
+    if soft:
+        ones = jnp.ones_like(rate)
+        blur_rgb, _ = pullpush._blur3_v(rgb, ones)
+        out = rgb * rate + blur_rgb * (1.0 - rate)
+    else:
+        gidx = (jnp.arange(block_h)[:, None]
+                + jnp.asarray(y0, jnp.int32)) * w + jnp.arange(w)[None, :]
+        u01 = rng.rnd(rng.pixel_seed(gidx, frame + 7919))[0]
+        hard = (u01 < rate).astype(jnp.float32)
+        alpha = hard + rate - jax.lax.stop_gradient(rate)  # straight-through
+        # rgb UN-premultiplied: pull computes sum(rgb*alpha)/sum(alpha),
+        # push alpha-gates its taps -> fractional alphas weight correctly
+        out, _ = pullpush.pull_push_v(rgb, alpha)
+    return jnp.stack([out.x, out.y, out.z], axis=-1)
+
+
 def make_train_step(scene, camera: Camera, config: RenderConfig, mesh: Mesh,
-                    optimizer=None):
+                    optimizer=None, foveated: bool = False,
+                    soft_mask: bool = False):
     """Build a jitted sharded train step:
       (params, opt_state, target_rows [H,W,3] row-sharded, frame)
         -> (params, opt_state, loss)
+
+    With foveated=True the render is the gaze-driven foveated
+    reconstruction (render_rows_foveated) — gradients flow to
+    params.gaze_uv through the sample-weight field; soft_mask selects
+    the smooth expected-coverage estimator (for FD checks) over the
+    straight-through hard mask.
     """
     if optimizer is None:
         optimizer = optax.adam(1e-2)
     n_tiles = mesh.devices.size
     assert config.height % n_tiles == 0
     block_h = config.height // n_tiles
+    render_rows = (
+        functools.partial(render_rows_foveated, soft=soft_mask)
+        if foveated else render_rows_dense)
 
     def loss_fn(params, target_rows, frame):
         sc, cam = _apply_params(scene, camera, params)
@@ -100,7 +167,7 @@ def make_train_step(scene, camera: Camera, config: RenderConfig, mesh: Mesh,
             tile = jax.lax.axis_index(shd.AXIS)
             y0 = tile * block_h
             sc_i, cam_i = _apply_params(scene, camera, p)
-            img = render_rows_dense(sc_i, cam_i, p, y0, block_h, config, fr)
+            img = render_rows(sc_i, cam_i, p, y0, block_h, config, fr)
             local = jnp.sum((img - tgt_rows) ** 2)
             return jax.lax.psum(local, shd.AXIS) / (
                 config.height * config.width * 3

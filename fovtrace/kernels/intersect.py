@@ -269,14 +269,17 @@ def refine_hit_v(scene, ro: Vec3, rd: Vec3, hit: Hit) -> Hit:
     backward pass never touches the acceleration structure. (This also
     shrinks the brute-force backward from O(N*T) to O(N).)
 
-    SoA throughout: 9 dense 1-D gathers (v0/e1/e2 components) instead of
-    3 lane-padded [N,3] row gathers.
+    Attribute fetch is ONE [N,9] row gather (the TPU gather engine moves
+    a row per index; per-component 1-D gathers are ~20x slower) from a
+    concat of the DIFFERENTIABLE scene arrays, so geometry gradients
+    flow; the math is SoA.
     """
     tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
-    g = lambda col: col[tri]
-    v0 = Vec3(g(scene.v0[:, 0]), g(scene.v0[:, 1]), g(scene.v0[:, 2]))
-    e1 = Vec3(g(scene.e1[:, 0]), g(scene.e1[:, 1]), g(scene.e1[:, 2]))
-    e2 = Vec3(g(scene.e2[:, 0]), g(scene.e2[:, 1]), g(scene.e2[:, 2]))
+    geom = jnp.concatenate([scene.v0, scene.e1, scene.e2], axis=1)  # [T,9]
+    g = geom[tri]                                                   # [N,9]
+    v0 = Vec3(g[:, 0], g[:, 1], g[:, 2])
+    e1 = Vec3(g[:, 3], g[:, 4], g[:, 5])
+    e2 = Vec3(g[:, 6], g[:, 7], g[:, 8])
     pvec = vec.cross(rd, e2)
     det = vec.dot(e1, pvec)
     inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
@@ -392,29 +395,32 @@ def onehot_cols(ids: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
-    """Fetch several per-material columns with ONE transposed one-hot
-    matmul: vals [K, N] = table [K, M] @ onehot [M, N] — every output row
-    is a dense [N] component (no lane-padded [N, K] result).
+    """Fetch several per-material columns with ONE [N,K] row gather from
+    the concatenated table. The TPU gather engine moves a row per index
+    (~3ms at 612k rays for all 21 columns), whereas both one-hot-matmul
+    orientations are pathological for tiny M (measured 95ms for the
+    [K,M]@[M,N] form). Gradients flow into the material table through
+    the gather's scatter-add transpose.
 
     columns: list of (name, width). width-3 columns return Vec3, width-1
-    return [N]. Gradients flow into the material table.
+    return [N].
     """
-    m = materials.kind.shape[0]
-    rows = []
+    cols = []
     for name, width in columns:
         col = getattr(materials, name).astype(jnp.float32)
-        rows.append(col[None, :] if col.ndim == 1 else col.T)
-    table = jnp.concatenate(rows, axis=0)            # [K, M]
-    vals = table @ onehot_cols(safe_mat, m)          # [K, N]
+        cols.append(col[:, None] if col.ndim == 1 else col)
+    table = jnp.concatenate(cols, axis=1)            # [M, K]
+    vals = table[safe_mat]                           # [N, K] row gather
     out = []
     off = 0
     for name, width in columns:
         if width == 1:
-            out.append(vals[off])
+            out.append(vals[:, off])
         elif width == 3:
-            out.append(Vec3(vals[off], vals[off + 1], vals[off + 2]))
+            out.append(Vec3(vals[:, off], vals[:, off + 1],
+                            vals[:, off + 2]))
         else:
-            out.append(vals[off:off + width])
+            out.append(vals[:, off:off + width])
         off += width
     return out
 
@@ -422,9 +428,7 @@ def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
 def material_lookup(materials, safe_mat: jnp.ndarray, columns) -> list:
     """Row-API wrapper over material_lookup_v (width-3 -> [N,3])."""
     out = material_lookup_v(materials, safe_mat, columns)
-    return [vec.to_rows(o) if isinstance(o, Vec3) else
-            (o.T if isinstance(o, jnp.ndarray) and o.ndim == 2 else o)
-            for o in out]
+    return [vec.to_rows(o) if isinstance(o, Vec3) else o for o in out]
 
 
 def hit_surface_v(scene, ro: Vec3, rd: Vec3, hit: Hit):
@@ -436,42 +440,36 @@ def hit_surface_v(scene, ro: Vec3, rd: Vec3, hit: Hit):
     (the 'refined' front hit surrogate). Triangle ids are
     stop-gradiented; positions remain differentiable through t, u, v.
 
-    Attribute fetch: dense 1-D gathers from the transposed attribute
-    pack `scene.tri_attrT` [A, T] (built by with_pack) — each row gather
-    is a full-lane [N] read, vs the lane-padded [N, 24] row gather the
-    AoS layout would force.
+    Attribute fetch: ONE [N,24] row gather from the `scene.tri_attr`
+    pack (built by with_pack). The TPU gather engine moves a row per
+    index — measured ~10ms at 2M rays vs ~385ms for per-component 1-D
+    gathers; the padded gather result is consumed fused.
     """
     tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
     u = hit.u
     v = hit.v
     w = 1.0 - u - v
 
-    at = getattr(scene, "tri_attrT", None)
-    if at is not None:
-        g = lambda r: at[r][tri]
-        gv = lambda r: Vec3(g(r), g(r + 1), g(r + 2))
-        n0, n1, n2 = gv(0), gv(3), gv(6)
-        gn = gv(9)
-        u0, v0_, u1, v1_, u2, v2_ = (g(12), g(13), g(14), g(15), g(16),
-                                     g(17))
-        mat_f = g(18)
-    else:
-        # un-packed scene: slice the per-vertex columns (tiny, CSE'd)
-        # then dense 1-D gathers
-        gc = lambda col: col[tri]
-        gv3 = lambda a: Vec3(gc(a[:, 0]), gc(a[:, 1]), gc(a[:, 2]))
-        n0, n1, n2 = gv3(scene.n0), gv3(scene.n1), gv3(scene.n2)
-        e1v, e2v = gv3(scene.e1), gv3(scene.e2)
-        gn = vec.normalize(vec.cross(e1v, e2v))
-        u0, v0_ = gc(scene.uv0[:, 0]), gc(scene.uv0[:, 1])
-        u1, v1_ = gc(scene.uv1[:, 0]), gc(scene.uv1[:, 1])
-        u2, v2_ = gc(scene.uv2[:, 0]), gc(scene.uv2[:, 1])
-        mat_f = scene.mat_id[tri].astype(jnp.float32)
+    at = getattr(scene, "tri_attr", None)
+    if at is None:
+        # un-packed scene: build the pack on the fly (CSE'd per frame;
+        # also keeps vertex-normal gradients live for unpacked scenes)
+        gn0 = jnp.cross(scene.e1, scene.e2)
+        gn0 = gn0 / jnp.maximum(
+            jnp.linalg.norm(gn0, axis=-1, keepdims=True), 1e-20)
+        at = jnp.concatenate(
+            [scene.n0, scene.n1, scene.n2, gn0,
+             scene.uv0, scene.uv1, scene.uv2,
+             scene.mat_id[:, None].astype(jnp.float32)], axis=1)
+    a = at[tri]                                       # [N,24] row gather
+    gv = lambda r: Vec3(a[:, r], a[:, r + 1], a[:, r + 2])
+    n0, n1, n2 = gv(0), gv(3), gv(6)
+    gn = gv(9)
 
     n_sh = vec.normalize(n0 * w + n1 * u + n2 * v)
-    u_tex = u0 * w + u1 * u + u2 * v
-    v_tex = v0_ * w + v1_ * u + v2_ * v
-    mat_id = jnp.where(hit.tri >= 0, mat_f.astype(jnp.int32), -1)
+    u_tex = a[:, 12] * w + a[:, 14] * u + a[:, 16] * v
+    v_tex = a[:, 13] * w + a[:, 15] * u + a[:, 17] * v
+    mat_id = jnp.where(hit.tri >= 0, a[:, 18].astype(jnp.int32), -1)
 
     # miss lanes carry t = BIG_T; clamp them so downstream dead-lane math
     # (light distance, Beer's law) stays finite — otherwise inf
@@ -497,9 +495,11 @@ def hit_surface_v(scene, ro: Vec3, rd: Vec3, hit: Hit):
         tx = jnp.clip((u_tex % 1.0) * tw, 0, tw - 1).astype(jnp.int32)
         ty = jnp.clip((v_tex % 1.0) * th, 0, th - 1).astype(jnp.int32)
         ti = jnp.clip(tex_id, 0, ntex - 1)
-        texel = Vec3(scene.textures[ti, ty, tx, 0],
-                     scene.textures[ti, ty, tx, 1],
-                     scene.textures[ti, ty, tx, 2])
+        # ONE row gather via the linearized atlas (3 scalar 3-D gathers
+        # are ~20x slower on TPU)
+        flat = scene.textures.reshape(-1, 3)
+        texel_rows = flat[(ti * th + ty) * tw + tx]       # [N,3]
+        texel = Vec3(texel_rows[:, 0], texel_rows[:, 1], texel_rows[:, 2])
         kd = vec.where(tex_id >= 0, kd * texel, kd)
 
     return {

@@ -29,10 +29,11 @@ the problem onto the MXU + VPU instead:
 DATA LAYOUT (round 3): everything the kernel touches in HBM is stored
 TRIANGLE/RAY-MAJOR on the 128-lane axis — rays as [NB, 16, 256] (not
 [N, 16], whose 16-wide minor axis pads to 128 lanes = 8x HBM traffic),
-outputs as [NB, 256] (not [N, 1], which pads 128x). The kernel works in
-the transposed space throughout: matmul result [4c, R], reductions over
-the sublane (triangle) axis. Ray origins/directions arrive as SoA
-`Vec3` ([N] per component) — see fovtrace.core.vec for why.
+outputs as (GROUP=8, 256) blocks (not [N, 1], which pads 128x). In the
+kernel each sub-block transposes its [16,R] ray tile ONCE to [R,16] so
+the per-cluster matmul stays in the MXU's canonical orientation — only
+the HBM layout changed vs the flat round-2 kernel. Ray origins /
+directions arrive as SoA `Vec3` ([N] per component) — fovtrace.core.vec.
 
 The matmul runs as an error-compensated bf16 SPLIT by default
 (`MATMUL_MODE = "bf16x3"`): x = hi + lo in bf16, res = Chi@hi + Clo@hi +
@@ -73,8 +74,10 @@ GROUP = 8          # ray blocks per pallas program: the output block is
 # diagonals), "f32" (Mosaic HIGHEST, 6 passes, exact).
 MATMUL_MODE = "bf16x3"
 
-# contract dim 0 of both operands: coef [16, 4c] x raysT [16, R] -> [4c, R]
-_DN = dict(dimension_numbers=(((0,), (0,)), ((), ())),
+# canonical MXU orientation: rays [R,16] x coef [16,4c] -> [R,4c]
+# (the transposed (0,0)-contracting form forces a per-iteration operand
+# relayout in Mosaic — measured 197ms vs 120ms at 2.1M rays)
+_DN = dict(dimension_numbers=(((1,), (0,)), ((), ())),
            preferred_element_type=jnp.float32)
 
 
@@ -84,30 +87,30 @@ def _split_bf16(x):
     return hi, lo
 
 
-def _ray_parts(frT):
+def _ray_parts(fr):
     """Per-block hoisted matmul operands for the current MATMUL_MODE.
-    frT: [16, R]."""
+    fr: [R, 16]."""
     if MATMUL_MODE == "f32":
-        return (frT,)
+        return (fr,)
     if MATMUL_MODE == "bf16":
-        return (frT.astype(jnp.bfloat16),)
-    return _split_bf16(frT)
+        return (fr.astype(jnp.bfloat16),)
+    return _split_bf16(fr)
 
 
 def _mt_matmul(parts, cb):
-    """coef [16,4c] x raysT [16,R] under the selected precision mode;
-    f32 result [4c, R]."""
+    """rays [R,16] x coef [16,4c] under the selected precision mode;
+    f32 result [R, 4c]."""
     if MATMUL_MODE == "f32":
         return jax.lax.dot_general(
-            cb, parts[0], precision=jax.lax.Precision.HIGHEST, **_DN)
+            parts[0], cb, precision=jax.lax.Precision.HIGHEST, **_DN)
     if MATMUL_MODE == "bf16":
-        return jax.lax.dot_general(cb.astype(jnp.bfloat16), parts[0], **_DN)
+        return jax.lax.dot_general(parts[0], cb.astype(jnp.bfloat16), **_DN)
     fhi, flo = parts
     chi, clo = _split_bf16(cb)
     return (
-        jax.lax.dot_general(chi, fhi, **_DN)
-        + jax.lax.dot_general(clo, fhi, **_DN)
-        + jax.lax.dot_general(chi, flo, **_DN)
+        jax.lax.dot_general(fhi, chi, **_DN)
+        + jax.lax.dot_general(flo, chi, **_DN)
+        + jax.lax.dot_general(fhi, clo, **_DN)
     )
 
 
@@ -130,15 +133,15 @@ def _interpret() -> bool:
 
 # ----------------------------------------------------------------- packing
 def compute_pack(scene):
-    """(coef [NC, 16, 4c], aux [NC, c, 8], clusters [NC, 8]).
+    """(coef [NC, 16, 4c], aux [NC, 8, c], clusters [NC, 8]).
 
     coef column layout per cluster: [t_num | det | u_num | v_num], each c
     wide. The cluster axis LEADS so the kernel selects a cluster with a
     plain dynamic index on a non-tiled dim (free address arithmetic) —
     dynamic slicing along the lane dim is what Mosaic charges for.
     Padding triangles have all-zero coefficients -> det = 0 -> never hit.
-    aux cols (triangle-major rows so the occlusion kernel's [c,1] slices
-    line up with its [c,R] hit masks): transparent, shadow_att rgb,
+    aux rows (triangles ride the lane axis, matching the occlusion
+    epilogue's [R,c] hit masks): transparent, shadow_att rgb,
     1/|e1 x e2| (for |cos| = |det|/|n| in the occlusion fresnel).
     """
     from fovtrace.scene.scene import MATL_REFRACTION
@@ -179,13 +182,13 @@ def compute_pack(scene):
                    jnp.ones((1, 3), jnp.float32))
     sa = jnp.pad(sa, ((0, pad), (0, 0)), constant_values=1.0)
     inv_n = 1.0 / jnp.maximum(jnp.linalg.norm(n, axis=-1), 1e-20)
-    aux = jnp.zeros((t_pad, 8), jnp.float32)
+    aux = jnp.zeros((8, t_pad), jnp.float32)
     aux = (
-        aux.at[:, 0].set(transp)
-        .at[:, 1].set(sa[:, 0]).at[:, 2].set(sa[:, 1]).at[:, 3].set(sa[:, 2])
-        .at[:, 4].set(inv_n)
+        aux.at[0].set(transp)
+        .at[1].set(sa[:, 0]).at[2].set(sa[:, 1]).at[3].set(sa[:, 2])
+        .at[4].set(inv_n)
     )
-    aux = aux.reshape(nc, c, 8)                 # [NC, c, 8]
+    aux = aux.reshape(8, nc, c).transpose(1, 0, 2)   # [NC, 8, c]
 
     # cluster AABBs (padding triangles excluded via degenerate test)
     v0c = v0.reshape(nc, c, 3)
@@ -329,9 +332,7 @@ def cluster_schedule(raysT: jnp.ndarray, clusters: jnp.ndarray):
     scalar arrays to 128 lanes.
     """
     live, tenter = block_liveness(raysT, clusters)
-    key = jnp.where(live, tenter, jnp.float32(BIG_T))
-    order = jnp.argsort(key, axis=1).astype(jnp.int32)      # [NB, NC]
-    tent_sorted = jnp.take_along_axis(key, order, axis=1)
+    nc = clusters.shape[0]
 
     # quantized tenter key (Mosaic has no scalar f32<->i32 bitcast):
     # scale maps [0, t_cap] onto [0, 2^23); floor() makes the stored key
@@ -344,23 +345,40 @@ def cluster_schedule(raysT: jnp.ndarray, clusters: jnp.ndarray):
     ghi = jnp.max(jnp.where(nonempty[:, None], clusters[:, 3:6], -big), axis=0)
     t_cap = 2.0 * jnp.linalg.norm(jnp.maximum(ghi - glo, 0.0)) + 1.0
     scale = (jnp.float32(_KEY_MAX) - 4.0) / t_cap
-    tkey = jnp.clip(jnp.clip(tent_sorted, 0.0, t_cap) * scale,
+
+    # front-to-back permutation WITHOUT a sort: the packed (key<<8 | jc)
+    # encoding is itself the comparison key (tenter first, id tiebreak,
+    # dead clusters key-max so they compact to the tail), so each
+    # entry's position is its RANK = #smaller keys — an O(NC^2)
+    # comparison matrix, fully vectorized. XLA's variadic sort is
+    # serial-ish on TPU and was a measured chunk of the round-2 per-frame
+    # schedule overhead; NC is small (<= MAX_CLUSTERS) so NB*NC^2
+    # compares are trivial VPU work.
+    tkey = jnp.clip(jnp.clip(jnp.where(live, tenter, big),
+                             0.0, t_cap) * scale,
                     0.0, float(_KEY_MAX)).astype(jnp.int32)
-    enc = tkey * 256 + order                               # (key<<8) | jc
+    enc = tkey * 256 + jnp.arange(nc, dtype=jnp.int32)[None, :]  # [NB,NC]
+    rank = jnp.sum((enc[:, :, None] > enc[:, None, :]).astype(jnp.int32),
+                   axis=2)                                   # [NB, NC]
+    # scatter enc into its rank slot: sorted[b, r] = enc[b, j | rank_j=r]
+    onehot = (rank[:, :, None]
+              == jnp.arange(nc, dtype=jnp.int32)[None, None, :])
+    enc_sorted = jnp.sum(jnp.where(onehot, enc[:, :, None], 0), axis=1)
+
     counts = jnp.sum(live, axis=1).astype(jnp.int32)
-    sched = jnp.concatenate([enc.reshape(-1),
+    sched = jnp.concatenate([enc_sorted.reshape(-1),
                              jnp.full((1,), _KEY_MAX * 256, jnp.int32)])
     return sched, counts, jnp.stack([scale, t_cap])
 
 
 def _mt_epilogue(res, tmin, tmax, c: int):
-    """Shared hit test on the transposed matmul result [4c, R] ->
-    (t [c,R] masked with BIG_T on miss, hit [c,R], det [c,R]).
-    tmin/tmax: [1, R] (broadcast over the triangle sublane axis)."""
-    t_num = res[0 * c:1 * c, :]
-    det = res[1 * c:2 * c, :]
-    u_num = res[2 * c:3 * c, :]
-    v_num = res[3 * c:4 * c, :]
+    """Shared hit test on the matmul result [R, 4c] ->
+    (t [R,c] masked with BIG_T on miss, hit [R,c], det [R,c]).
+    tmin/tmax: [R, 1] (broadcast over the triangle lane axis)."""
+    t_num = res[:, 0 * c:1 * c]
+    det = res[:, 1 * c:2 * c]
+    u_num = res[:, 2 * c:3 * c]
+    v_num = res[:, 3 * c:4 * c]
     ud = u_num * det
     vd = v_num * det
     ok = (
@@ -394,18 +412,17 @@ def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
     r = rays_ref.shape[2]
     scale = params_ref[0]
     t_cap = params_ref[1]
-    sub = jax.lax.broadcasted_iota(jnp.int32, (c, r), 0)
-
-    t_out[...] = jnp.full((GROUP, r), BIG_T, jnp.float32)
-    idx_out[...] = jnp.full((GROUP, r), -1, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
 
     for g in range(GROUP):                          # GROUP sub-blocks,
         b = i * GROUP + g                           # each its own loop
-        raysT = rays_ref[g]                         # [16, R]
+        # one [16,R] -> [R,16] transpose per sub-block puts the matmul in
+        # the MXU's canonical [M,K]x[K,N] orientation (HBM stays dense)
+        rays = jnp.transpose(rays_ref[g], (1, 0))   # [R, 16]
         # hoisted per-block invariants
-        parts = _ray_parts(raysT)                   # one convert per block
-        tmin = raysT[10:11, :]                      # [1, R]
-        tmax = raysT[11:12, :]
+        parts = _ray_parts(rays)                    # one convert per block
+        tmin = rays[:, 10:11]                       # [R, 1]
+        tmax = rays[:, 11:12]
         count = counts_ref[b]
         tmax_blk = jnp.max(tmax)                    # scalar upper bound
 
@@ -419,11 +436,11 @@ def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
         def body(carry):
             l, bound_key, best_t, best_i = carry
             jc = sched_ref[b * nc + l] % 256
-            res = _mt_matmul(parts, coef_ref[jc])       # [4c, R]
-            t, _, _ = _mt_epilogue(res, tmin, tmax, c)  # [c, R]
-            bt = jnp.min(t, axis=0, keepdims=True)      # [1, R]
+            res = _mt_matmul(parts, coef_ref[jc])       # [R, 4c]
+            t, _, _ = _mt_epilogue(res, tmin, tmax, c)  # [R, c]
+            bt = jnp.min(t, axis=1, keepdims=True)      # [R, 1]
             sel = (t <= bt) & (t < BIG_T)
-            li = jnp.min(jnp.where(sel, sub, c), axis=0, keepdims=True)
+            li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
             better = (li < c) & (bt < best_t)
             gi = jc * c + jnp.minimum(li, c - 1)
             best_t = jnp.where(better, bt, best_t)
@@ -434,10 +451,10 @@ def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
         _, _, bt_g, bi_g = jax.lax.while_loop(
             cond, body,
             (0, _bound_key(tmax_blk, scale, t_cap),
-             jnp.full((1, r), BIG_T, jnp.float32),
-             jnp.full((1, r), -1, jnp.int32)))
-        t_out[g:g + 1, :] = bt_g
-        idx_out[g:g + 1, :] = bi_g
+             jnp.full((r, 1), BIG_T, jnp.float32),
+             jnp.full((r, 1), -1, jnp.int32)))
+        t_out[g:g + 1, :] = jnp.transpose(bt_g, (1, 0))
+        idx_out[g:g + 1, :] = jnp.transpose(bi_g, (1, 0))
 
 
 # blocks per pallas_call chunk so the prefetched schedule fits SMEM
@@ -527,16 +544,12 @@ def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
     i = pl.program_id(0)
     r = rays_ref.shape[2]
 
-    ar_out[...] = jnp.ones((GROUP, r), jnp.float32)
-    ag_out[...] = jnp.ones((GROUP, r), jnp.float32)
-    ab_out[...] = jnp.ones((GROUP, r), jnp.float32)
-
     for g in range(GROUP):
         b = i * GROUP + g
-        raysT = rays_ref[g]
-        parts = _ray_parts(raysT)
-        tmin = raysT[10:11, :]
-        tmax = raysT[11:12, :]
+        rays = jnp.transpose(rays_ref[g], (1, 0))            # [R, 16]
+        parts = _ray_parts(rays)
+        tmin = rays[:, 10:11]
+        tmax = rays[:, 11:12]
         count = counts_ref[b]
         tmax_key = _bound_key(jnp.max(tmax), params_ref[0], params_ref[1])
 
@@ -549,11 +562,11 @@ def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
             l, live, ar, ag, ab = carry
             jc = sched_ref[b * nc + l] % 256
             res = _mt_matmul(parts, coef_ref[jc])
-            t, hit, det = _mt_epilogue(res, tmin, tmax, c)   # [c, R]
+            t, hit, det = _mt_epilogue(res, tmin, tmax, c)   # [R, c]
 
-            a = aux_ref[jc]                                  # [c, 8]
-            transp = a[:, 0:1]                               # [c, 1]
-            inv_n = a[:, 4:5]
+            a = aux_ref[jc]                                  # [8, c]
+            transp = a[0:1, :]                               # [1, c]
+            inv_n = a[4:5, :]
             # |cos(n, d)| = |det| / |n|  (d is unit length)
             ndi = jnp.abs(det) * inv_n
             c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
@@ -565,29 +578,29 @@ def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
                 hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
             )
 
-            def sub_prod(x):
+            def lane_prod(x):
                 # exact triangle-axis product via log2(c) pairwise folds
                 # (jnp.prod reductions don't lower natively on Mosaic)
                 width = c
                 while width > 1:
                     half = width // 2
-                    x = x[:half, :] * x[half:width, :]
+                    x = x[:, :half] * x[:, half:width]
                     width = half
-                return x                                     # [1, R]
+                return x                                     # [R, 1]
 
-            ar = ar * sub_prod(factor(a[:, 1:2]))
-            ag = ag * sub_prod(factor(a[:, 2:3]))
-            ab = ab * sub_prod(factor(a[:, 3:4]))
+            ar = ar * lane_prod(factor(a[1:2, :]))
+            ag = ag * lane_prod(factor(a[2:3, :]))
+            ab = ab * lane_prod(factor(a[3:4, :]))
             # any-hit early-out: stop once every ray is fully occluded
             live2 = jnp.max(ar + ag + ab) > 0.0
             return l + 1, live2, ar, ag, ab
 
-        ones = jnp.ones((1, r), jnp.float32)
+        ones = jnp.ones((r, 1), jnp.float32)
         _, _, ar_g, ag_g, ab_g = jax.lax.while_loop(
             cond, body, (0, jnp.bool_(True), ones, ones, ones))
-        ar_out[g:g + 1, :] = ar_g
-        ag_out[g:g + 1, :] = ag_g
-        ab_out[g:g + 1, :] = ab_g
+        ar_out[g:g + 1, :] = jnp.transpose(ar_g, (1, 0))
+        ag_out[g:g + 1, :] = jnp.transpose(ag_g, (1, 0))
+        ab_out[g:g + 1, :] = jnp.transpose(ab_g, (1, 0))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -626,7 +639,7 @@ def _occlusion_call_pre(raysT, coef, aux, sched, counts, params,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, c, 8), lambda i, n, s, p: (0, 0, 0),
+            pl.BlockSpec((nc, 8, c), lambda i, n, s, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[

@@ -38,8 +38,8 @@ def _jitted_stages(config: RenderConfig):
         sc, gbuf, gaze, st, config))
     s_opt = jax.jit(lambda m: pipeline.stage_compact(m, config))
     s_shade = jax.jit(
-        lambda sc, cam, idx, act, qy, qx, val, st, gt: pipeline.stage_shade(
-            sc, cam, idx, act, qy, qx, val, st, config, gaze_target=gt))
+        lambda sc, cam, idx, act, fet, val, st, gt: pipeline.stage_shade(
+            sc, cam, idx, act, fet, val, st, config, gaze_target=gt))
 
     s_jfa = jax.jit(lambda sh: jfa.jump_flood(sh))
     s_si = jax.jit(lambda co, col: sibson.sibson_interpolate(
@@ -67,7 +67,7 @@ def render_frame_staged(scene, camera, gaze_px, state,
         box["result"] = gbuf
 
     with timer.stage("Sampling") as box:
-        mask, sal, is_valid, qy, qx, gaze_target, ray_count = s_samp(
+        mask, sal, is_valid, fetched, gaze_target, ray_count = s_samp(
             scene, gbuf, gaze_px, state)
         box["result"] = (mask, sal)
 
@@ -77,7 +77,7 @@ def render_frame_staged(scene, camera, gaze_px, state,
 
     with timer.stage("Shading") as box:
         (shading_rgb, shading_alpha), history, traced_mask, shade_rays = \
-            s_shade(scene, camera, idx, active, qy, qx, is_valid, state,
+            s_shade(scene, camera, idx, active, fetched, is_valid, state,
                     gaze_target)
         box["result"] = shading_rgb
 

@@ -65,12 +65,16 @@ class ModelSpec:
 
 
 def _load_texture(path: str) -> Optional[np.ndarray]:
-    """Load a PPM/BMP albedo texture to float32 [H,W,3] in [0,1]."""
+    """Load a PPM/BMP/PNG albedo texture to float32 [H,W,3] in [0,1]
+    (reference: sutil::loadTexture handles PPM; vokselia's material uses
+    a PNG map_Kd — resource/vokselia_spawn/vokselia_spawn.mtl)."""
     try:
         if path.lower().endswith((".ppm", ".pgm")):
             img = image_io.load_ppm(path)
         elif path.lower().endswith(".bmp"):
             img = image_io.load_bmp(path)
+        elif path.lower().endswith(".png"):
+            img = image_io.load_png(path)
         else:
             return None
     except (OSError, ValueError):
@@ -271,6 +275,88 @@ def scene_from_spec(path: str) -> Scene:
         envmap = image_io.load_hdr(resolve(spec["envmap"]))
     return scene_from_objs(models, envmap=envmap,
                            light_power=float(spec.get("light_power", 810.0)))
+
+
+def reference_assets_scene(resource_dir: str = "/root/reference/resource",
+                           vokselia_extent: int = 4,
+                           light_power: float = 810.0) -> Scene:
+    """The reference's flagship composition from its ACTUAL shipped
+    assets (PathTracer.cpp:582-595 + :676-772). The upstream repo ships
+    textures/MTL/HDR but NOT the .obj meshes (only .rar archives), so
+    geometry uses our procedural stand-ins while every *asset* is real:
+
+      - CedarCity.hdr            -> the envmap (PathTracer.cpp:454-455)
+      - grid.ppm                 -> ground plane map_Kd
+      - bunny/bunny.mtl Kd + bunny.PPM -> the "bunny" (refract in the
+        reference; the MTL itself is diffuse — we follow PathTracer's
+        material-type override: refraction, PathTracer.cpp:592)
+      - vokselia_spawn.{mtl,png} -> textured voxel world ('Stone' Kd +
+        the PNG atlas)
+      - earth sphere             -> reflection (PathTracer.cpp:594)
+    """
+    from fovtrace.scene import obj as obj_mod
+    from fovtrace.scene import procedural
+
+    rd = resource_dir
+    envmap = image_io.load_hdr(os.path.join(rd, "CedarCity.hdr"))
+    textures: List[np.ndarray] = []
+
+    def tex(path) -> int:
+        img = _load_texture(path)
+        if img is None:
+            return -1
+        textures.append(img)
+        return len(textures) - 1
+
+    grid_tex = tex(os.path.join(rd, "grid.ppm"))
+    vok_tex = tex(os.path.join(rd, "vokselia_spawn",
+                               "vokselia_spawn.png"))
+    bunny_tex = tex(os.path.join(rd, "bunny", "bunny.PPM"))
+
+    bunny_mtl = obj_mod.load_mtl(os.path.join(rd, "bunny", "bunny.mtl"))
+    bunny_kd = next(iter(bunny_mtl.values()))["kd"] if bunny_mtl \
+        else (0.75, 0.75, 0.75)
+    vok_mtl = obj_mod.load_mtl(os.path.join(rd, "vokselia_spawn",
+                                            "vokselia_spawn.mtl"))
+    vok_kd = vok_mtl.get("Stone", {}).get("kd", (0.47, 0.47, 0.47))
+
+    mat_rows = [
+        {"kind": MATL_DIFFUSE, "kd": (0.8, 0.8, 0.8),
+         "texture_id": grid_tex},                       # 0 ground
+        {"kind": MATL_DIFFUSE, "kd": tuple(vok_kd),
+         "texture_id": vok_tex},                        # 1 vokselia
+        {"kind": MATL_REFRACTION, "kd": tuple(bunny_kd),
+         "texture_id": bunny_tex},                      # 2 bunny
+        {"kind": MATL_REFLECTION, "kd": (0.7, 0.7, 0.75),
+         "texture_id": -1},                             # 3 earth
+        {"kind": MATL_REFRACTION, "kd": (0.95, 0.95, 0.95),
+         "texture_id": -1},                             # 4 box
+    ]
+    materials = Materials.create(
+        kinds=[r["kind"] for r in mat_rows],
+        kds=[r["kd"] for r in mat_rows],
+        textures=[r["texture_id"] for r in mat_rows],
+    )
+    meshes = [
+        procedural._mesh(procedural.plane(10.0, 0.0), 0),
+        procedural._mesh(procedural.voxel_world(extent=vokselia_extent,
+                                                base_y=0.0), 1),
+        procedural._mesh(procedural.icosphere(0.5, (2.2, 0.7, 1.2),
+                                              subdiv=3), 2),
+        procedural._mesh(procedural.uv_sphere(0.7, (-2.0, 0.9, 1.5)), 3),
+        procedural._mesh(procedural.box((0.7, 0.7, 0.7),
+                                        (0.0, 0.35, 2.6)), 4),
+    ]
+    vertices, triangles, mat_ids, normals, uvs = scene_mod.merge_meshes(
+        meshes)
+    sc = Scene.build(
+        vertices, triangles, mat_ids, materials,
+        normals=normals, uvs=uvs,
+        light=ParallelogramLight.default(light_power),
+        envmap=envmap,
+        textures=build_texture_atlas(textures),
+    )
+    return sc.with_bvh()
 
 
 def reference_models(asset_dir: str) -> List[ModelSpec]:

@@ -159,15 +159,16 @@ class Scene:
     # fovtrace.kernels.pallas_isect — MXU determinant coefficients,
     # occlusion aux rows, cluster AABBs)
     isect_coef: Optional[jnp.ndarray] = None      # [NC, 16, 4c]
-    isect_aux: Optional[jnp.ndarray] = None       # [NC, c, 8]
+    isect_aux: Optional[jnp.ndarray] = None       # [NC, 8, c]
     cluster_aabb: Optional[jnp.ndarray] = None    # [NC, 8]
 
-    # TRANSPOSED per-triangle shading attributes [19, T]: rows are
-    # n0 n1 n2 (9), gn (3), u0 v0 u1 v1 u2 v2 (6), mat_id (1). Attribute-
-    # major so each hit_surface fetch is a dense full-lane 1-D gather —
-    # a [T, 24] AoS pack would force lane-padded [N, 24] gather results
-    # (T(8,128) pads 24 -> 128 on TPU)
-    tri_attrT: Optional[jnp.ndarray] = None
+    # packed per-triangle shading attributes [T, 24]: n0 n1 n2 (9), gn
+    # (3), uv0 uv1 uv2 (6), mat_id (1), pad. ROW-major on purpose: the
+    # TPU gather engine moves a row per index, so ONE [N,24] row gather
+    # costs ~10ms at 2M rays where 19 per-component 1-D gathers cost
+    # ~385ms (measured); the padded gather result is consumed fused, so
+    # its T(8,128) lane padding never round-trips HBM
+    tri_attr: Optional[jnp.ndarray] = None
 
     @property
     def has_bvh(self) -> bool:
@@ -213,16 +214,15 @@ class Scene:
         gn = jnp.cross(self.e1, self.e2)
         gn = gn / jnp.maximum(
             jnp.linalg.norm(gn, axis=-1, keepdims=True), 1e-20)
-        attrT = jnp.concatenate(
-            [self.n0.T, self.n1.T, self.n2.T, gn.T,
-             jnp.stack([self.uv0[:, 0], self.uv0[:, 1],
-                        self.uv1[:, 0], self.uv1[:, 1],
-                        self.uv2[:, 0], self.uv2[:, 1]], axis=0),
-             self.mat_id[None, :].astype(jnp.float32)],
-            axis=0,
+        attr = jnp.concatenate(
+            [self.n0, self.n1, self.n2, gn,
+             self.uv0, self.uv1, self.uv2,
+             self.mat_id[:, None].astype(jnp.float32),
+             jnp.zeros((self.num_triangles, 5), jnp.float32)],
+            axis=1,
         )
         return self.replace(isect_coef=coef, isect_aux=aux,
-                            cluster_aabb=clusters, tri_attrT=attrT)
+                            cluster_aabb=clusters, tri_attr=attr)
 
     @property
     def num_triangles(self) -> int:

@@ -25,14 +25,31 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests", "golden")
 
 # the 5 BASELINE configs (scene geometry per REF/PathTracer.cpp:582-595)
+# + reconstruction/sampling variants (VERDICT r02 weak #7: jfa/sibson/
+# logpolar outputs and OBJ-asset scenes were unguarded)
 CASES = {
     "box": dict(scene="box"),
     "bunny": dict(scene="bunny"),
     "earth": dict(scene="earth"),
     "multi": dict(scene="multi"),
     "vokselia": dict(scene="vokselia"),
+    "earth_jfa": dict(scene="earth", reconstruction="jfa"),
+    "earth_sibson": dict(scene="earth", reconstruction="sibson",
+                         sibson_max_radius=8),
+    "earth_logpolar": dict(scene="earth", sampling_mode="logpolar"),
+    "textured_obj": dict(scene="textured_obj"),
 }
 SIZE = 64
+
+
+def _textured_obj_scene():
+    """Committed OBJ+MTL+PPM asset scene (tests/data) so the full asset
+    pipeline (per-face materials + map_Kd texture atlas) is golden-
+    guarded."""
+    from fovtrace.scene import assets
+
+    data = os.path.join(os.path.dirname(GOLDEN_DIR), "data")
+    return assets.scene_from_obj(os.path.join(data, "checker_quad.obj"))
 
 
 def render_case(name, spec):
@@ -40,10 +57,12 @@ def render_case(name, spec):
     from fovtrace.render import pipeline
     from fovtrace.scene import procedural
 
-    config = RenderConfig(width=SIZE, height=SIZE, reconstruction="atrous",
-                          max_depth=3, diffuse_max_depth=1,
-                          ray_budget_frac=0.6)
-    scene = procedural.SCENES[spec["scene"]]()
+    kw = dict(width=SIZE, height=SIZE, reconstruction="atrous",
+              max_depth=3, diffuse_max_depth=1, ray_budget_frac=0.6)
+    kw.update({k: v for k, v in spec.items() if k != "scene"})
+    config = RenderConfig(**kw)
+    scene = (_textured_obj_scene() if spec["scene"] == "textured_obj"
+             else procedural.SCENES[spec["scene"]]())
     cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
     gaze = (jnp.asarray(SIZE // 2), jnp.asarray(SIZE // 2))
     state = pipeline.FrameState.initial(cam, config)
@@ -73,11 +92,27 @@ def render_case(name, spec):
 
 
 def main():
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--only", nargs="*", default=None,
+                   help="generate only these cases")
+    p.add_argument("--missing-only", action="store_true",
+                   help="skip cases whose golden already exists")
+    args = p.parse_args()
+
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, spec in CASES.items():
-        image, fp, rays = render_case(name, spec)
+        if args.only and name not in args.only:
+            continue
         path = os.path.join(GOLDEN_DIR, f"{name}.npz")
-        np.savez_compressed(path, image=image, grad_fp=fp, ray_count=rays)
+        if args.missing_only and os.path.exists(path):
+            print(f"[golden] {name}: exists, skipped")
+            continue
+        image, fp, rays = render_case(name, spec)
+        np.savez_compressed(path, image=image, grad_fp=fp, ray_count=rays,
+                            spec=json.dumps(spec))
         print(f"[golden] {name}: mean={image.mean():.4f} rays={rays} "
               f"grad_fp={np.round(fp, 6)} -> {path}")
 

@@ -25,17 +25,26 @@ if _os.environ.get("JAX_PLATFORMS") == "cpu":
 import jax.numpy as jnp
 
 
+def _block(out):
+    # block on the explicit leaf list: block_until_ready on some struct
+    # pytrees returned bogus ~0ms timings on the axon remote TPU
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "block_until_ready"):
+            leaf.block_until_ready()
+    return out
+
+
 def timeit(fn, *args, iters=8, warmup=2, name=""):
     t0 = time.perf_counter()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _block(out)
     compile_s = time.perf_counter() - t0
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _block(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _block(out)
     ms = (time.perf_counter() - t0) / iters * 1e3
     print(f"[profile] {name:24s} {ms:9.2f} ms   (compile {compile_s:.1f}s)",
           file=sys.stderr, flush=True)

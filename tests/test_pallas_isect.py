@@ -76,7 +76,7 @@ def test_pack_shapes():
     c = coef.shape[2] // 4            # adaptive cluster width
     assert c % pallas_isect.CLUSTER == 0
     assert nc <= pallas_isect.MAX_CLUSTERS
-    assert aux.shape == (nc, c, 8)
+    assert aux.shape == (nc, 8, c)
     assert cl.shape == (nc, 8)
     # cluster AABBs contain their (valid) triangles
     valid = np.asarray(scene.mat_id) >= 0
