@@ -46,27 +46,30 @@ def fetch_cache(history, depth_cache, qy, qx):
     """ONE row gather of the combined temporal cache.
 
     history: [4,H,W] planes; depth_cache: [H,W].
-    Returns [H,W,5] rows: r,g,b,count,prev_depth at the reprojected
-    pixel. The [H,W,5] stack/gather are lane-padded on TPU but consumed
-    fused — one gather beats five 20x over (see module docstring)."""
+    Returns [H*W, 5] flat rows: r,g,b,count,prev_depth at the
+    reprojected pixel. One row gather beats five 1-D gathers 5x over
+    (see module docstring). Consumers must NOT column-slice this
+    lane-padded buffer repeatedly — transpose once to [5, N] first
+    (the transpose is CSE'd across all consumers inside one jit)."""
     cache_rows = jnp.stack(
         [history[0], history[1], history[2], history[3], depth_cache],
         axis=-1)
-    return cache_rows[qy, qx]
+    return cache_rows[qy, qx].reshape(-1, 5)
 
 
 def validate_cache(ru, rv, position: Vec3, depth_cache, prev_eye,
                    width, height, epsilon, history=None):
     """Per-pixel cache validity (samplingStep.cu:94-141).
 
-    Returns (is_valid [H,W] float, qy, qx, fetched [H,W,5] | None):
+    Returns (is_valid [H,W] float, qy, qx, fetched [H*W,5] | None):
     with `history` given, the combined cache fetch is shared with the
     caller (the shading stage reuses it instead of re-gathering).
     """
     in_range, qy, qx = reproject_indices(ru, rv, width, height)
     if history is not None:
         fetched = fetch_cache(history, depth_cache, qy, qx)
-        prev_depth = fetched[..., 4]
+        # one transpose -> dense [5, N] rows (not 5 padded column slices)
+        prev_depth = fetched.T[4].reshape(height, width)
     else:
         fetched = None
         prev_depth = depth_cache[qy, qx]
@@ -77,12 +80,14 @@ def validate_cache(ru, rv, position: Vec3, depth_cache, prev_eye,
 
 
 def history_from_fetch(fetched, is_valid):
-    """[H,W,5] fetched cache rows -> [4,H,W] history planes, zeroed
+    """[H*W,5] fetched cache rows -> [4,H,W] history planes, zeroed
     where the reprojected entry is invalid
-    (fov_path_trace_camera.cu:86-93)."""
+    (fov_path_trace_camera.cu:86-93). One transpose (CSE'd with
+    validate_cache's) then dense row slices."""
+    h, w = is_valid.shape
     ok = is_valid > 0.0
-    return jnp.stack([jnp.where(ok, fetched[..., c], 0.0)
-                      for c in range(4)], axis=0)
+    planes = fetched.T[:4].reshape(4, h, w)
+    return jnp.where(ok[None], planes, 0.0)
 
 
 def fetch_history(history_cache, qy, qx, is_valid):

@@ -173,9 +173,9 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
     # ---- 4. shading (global pixel ids -> identical seeds/jitter) ---------
     gidx = idx + y0 * w
     c_history = reproject.history_from_fetch(fetched, is_valid)
-    hrows = fetched.reshape(-1, 5)[idx]
+    hrows = fetched[idx].T                    # [5, budget] (see pipeline)
     vray = is_valid.reshape(-1)[idx] > 0.0
-    hist = [jnp.where(vray, hrows[:, c], 0.0) for c in range(4)]
+    hist = [jnp.where(vray, hrows[c], 0.0) for c in range(4)]
     seed_frame = jnp.where(hist[3] > 0.0, state.frame, 0)
     seeds = rng.pixel_seed(gidx, seed_frame)
 

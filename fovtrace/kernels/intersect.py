@@ -276,10 +276,10 @@ def refine_hit_v(scene, ro: Vec3, rd: Vec3, hit: Hit) -> Hit:
     """
     tri = jax.lax.stop_gradient(jnp.maximum(hit.tri, 0))
     geom = jnp.concatenate([scene.v0, scene.e1, scene.e2], axis=1)  # [T,9]
-    g = geom[tri]                                                   # [N,9]
-    v0 = Vec3(g[:, 0], g[:, 1], g[:, 2])
-    e1 = Vec3(g[:, 3], g[:, 4], g[:, 5])
-    e2 = Vec3(g[:, 6], g[:, 7], g[:, 8])
+    g = geom[tri].T                                                 # [9,N]
+    v0 = Vec3(g[0], g[1], g[2])
+    e1 = Vec3(g[3], g[4], g[5])
+    e2 = Vec3(g[6], g[7], g[8])
     pvec = vec.cross(rd, e2)
     det = vec.dot(e1, pvec)
     inv_det = jnp.where(jnp.abs(det) > DET_EPS, 1.0 / det, 0.0)
@@ -410,17 +410,20 @@ def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
         col = getattr(materials, name).astype(jnp.float32)
         cols.append(col[:, None] if col.ndim == 1 else col)
     table = jnp.concatenate(cols, axis=1)            # [M, K]
-    vals = table[safe_mat]                           # [N, K] row gather
+    # gather rows, then ONE transpose to [K, N] so per-column unpacking
+    # slices dense [N] rows — slicing columns out of the lane-padded
+    # [N, K] result re-reads the 128-lane-padded buffer per column
+    # (measured 2.2x slower at 612k rays)
+    vals = table[safe_mat].T                         # [K, N]
     out = []
     off = 0
     for name, width in columns:
         if width == 1:
-            out.append(vals[:, off])
+            out.append(vals[off])
         elif width == 3:
-            out.append(Vec3(vals[:, off], vals[:, off + 1],
-                            vals[:, off + 2]))
+            out.append(Vec3(vals[off], vals[off + 1], vals[off + 2]))
         else:
-            out.append(vals[:, off:off + width])
+            out.append(vals[off:off + width].T)
         off += width
     return out
 
@@ -461,15 +464,18 @@ def hit_surface_v(scene, ro: Vec3, rd: Vec3, hit: Hit):
             [scene.n0, scene.n1, scene.n2, gn0,
              scene.uv0, scene.uv1, scene.uv2,
              scene.mat_id[:, None].astype(jnp.float32)], axis=1)
-    a = at[tri]                                       # [N,24] row gather
-    gv = lambda r: Vec3(a[:, r], a[:, r + 1], a[:, r + 2])
+    # row gather then ONE transpose -> [24, N]: per-attribute unpacking
+    # below slices dense [N] rows instead of re-reading the lane-padded
+    # [N, 24] buffer per column (measured 2.2x at 612k rays)
+    a = at[tri].T                                     # [24, N]
+    gv = lambda r: Vec3(a[r], a[r + 1], a[r + 2])
     n0, n1, n2 = gv(0), gv(3), gv(6)
     gn = gv(9)
 
     n_sh = vec.normalize(n0 * w + n1 * u + n2 * v)
-    u_tex = a[:, 12] * w + a[:, 14] * u + a[:, 16] * v
-    v_tex = a[:, 13] * w + a[:, 15] * u + a[:, 17] * v
-    mat_id = jnp.where(hit.tri >= 0, a[:, 18].astype(jnp.int32), -1)
+    u_tex = a[12] * w + a[14] * u + a[16] * v
+    v_tex = a[13] * w + a[15] * u + a[17] * v
+    mat_id = jnp.where(hit.tri >= 0, a[18].astype(jnp.int32), -1)
 
     # miss lanes carry t = BIG_T; clamp them so downstream dead-lane math
     # (light distance, Beer's law) stays finite — otherwise inf
@@ -498,8 +504,8 @@ def hit_surface_v(scene, ro: Vec3, rd: Vec3, hit: Hit):
         # ONE row gather via the linearized atlas (3 scalar 3-D gathers
         # are ~20x slower on TPU)
         flat = scene.textures.reshape(-1, 3)
-        texel_rows = flat[(ti * th + ty) * tw + tx]       # [N,3]
-        texel = Vec3(texel_rows[:, 0], texel_rows[:, 1], texel_rows[:, 2])
+        texel_rows = flat[(ti * th + ty) * tw + tx].T     # [3,N]
+        texel = Vec3(texel_rows[0], texel_rows[1], texel_rows[2])
         kd = vec.where(tex_id >= 0, kd * texel, kd)
 
     return {

@@ -152,9 +152,11 @@ def stage_shade(scene, camera, idx, active, fetched, is_valid, state,
     # planes for the accumulate (elementwise), one [budget,5] row gather
     # for the per-ray history
     c_history = reproject.history_from_fetch(fetched, is_valid)
-    hrows = fetched.reshape(-1, 5)[idx]
+    hrows = fetched[idx].T                    # [5, budget]: one transpose
+    #                                           so per-channel reads slice
+    #                                           dense rows, not padded cols
     vray = is_valid.reshape(-1)[idx] > 0.0
-    hist = [jnp.where(vray, hrows[:, c], 0.0) for c in range(4)]
+    hist = [jnp.where(vray, hrows[c], 0.0) for c in range(4)]
 
     # seed depends on frame only once history exists
     # (fov_path_trace_camera.cu:123: frame-independent until cache valid)

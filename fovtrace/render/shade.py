@@ -61,16 +61,18 @@ def envmap_lookup_v(envmap: jnp.ndarray, dirs: Vec3, scale: float = 2.0
     wx = fx - x0
     wy = fy - y0
     # 4 ROW gathers from the linearized map (12 per-channel 2-D gathers
-    # are ~20x slower on TPU — the gather engine moves a row per index)
+    # are ~20x slower on TPU — the gather engine moves a row per index);
+    # transpose each gather once so per-channel slicing reads dense [N]
+    # rows instead of the lane-padded [N,3] buffer
     flat = envmap.reshape(-1, 3)
-    c00 = flat[y0 * w + x0]
-    c01 = flat[y0 * w + x1]
-    c10 = flat[y1 * w + x0]
-    c11 = flat[y1 * w + x1]
+    c00 = flat[y0 * w + x0].T
+    c01 = flat[y0 * w + x1].T
+    c10 = flat[y1 * w + x0].T
+    c11 = flat[y1 * w + x1].T
 
     def bilerp(k):
-        return ((c00[:, k] * (1 - wx) + c01[:, k] * wx) * (1 - wy)
-                + (c10[:, k] * (1 - wx) + c11[:, k] * wx) * wy)
+        return ((c00[k] * (1 - wx) + c01[k] * wx) * (1 - wy)
+                + (c10[k] * (1 - wx) + c11[k] * wx) * wy)
 
     return Vec3(bilerp(0), bilerp(1), bilerp(2)) * scale
 

@@ -10,9 +10,11 @@ def block(o):
         if hasattr(l, 'block_until_ready'): l.block_until_ready()
 
 def run(tag, **over):
-    config = RenderConfig(width=1920, height=1088, reconstruction='atrous',
-                          max_depth=4, diffuse_max_depth=1,
-                          ray_budget_frac=0.30, full_outputs=False, **over)
+    kw = dict(width=1920, height=1088, reconstruction='atrous',
+              max_depth=4, diffuse_max_depth=1,
+              ray_budget_frac=0.30, full_outputs=False)
+    kw.update(over)
+    config = RenderConfig(**kw)
     scene = procedural.SCENES['earth']()
     cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
     state = pipeline.FrameState.initial(cam, config)
