@@ -68,8 +68,12 @@ def validate_cache(ru, rv, position: Vec3, depth_cache, prev_eye,
     in_range, qy, qx = reproject_indices(ru, rv, width, height)
     if history is not None:
         fetched = fetch_cache(history, depth_cache, qy, qx)
-        # one transpose -> dense [5, N] rows (not 5 padded column slices)
-        prev_depth = fetched.T[4].reshape(height, width)
+        # one transpose -> dense [5, N] rows (not 5 padded column slices).
+        # Reshape with the INPUT raster shape, not (height, width): the
+        # sharded path (dist/sharding.py) passes tile-local [bh, w] uv
+        # planes while width/height stay global for index math into the
+        # all-gathered cache.
+        prev_depth = fetched.T[4].reshape(ru.shape)
     else:
         fetched = None
         prev_depth = depth_cache[qy, qx]

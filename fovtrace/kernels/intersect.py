@@ -423,7 +423,10 @@ def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
         elif width == 3:
             out.append(Vec3(vals[off], vals[off + 1], vals[off + 2]))
         else:
-            out.append(vals[off:off + width].T)
+            # Generic widths return the dense [width, N] row block —
+            # callers unpack rows themselves rather than transposing back
+            # to the lane-padded [N, width] layout warned about above.
+            out.append(vals[off:off + width])
         off += width
     return out
 
