@@ -211,18 +211,22 @@ def scene_from_objs(
             for v, u in zip(all_v, all_uv)
         ], axis=0)
 
-    materials = Materials.create(
-        kinds=[r["kind"] for r in mat_rows],
-        kds=[r["kd"] for r in mat_rows],
-        textures=[r["texture_id"] for r in mat_rows],
-    )
     atlas = build_texture_atlas(textures, max_texture_dim)
-    if light is None:
-        light = ParallelogramLight.default(light_power)
-    sc = Scene.build(vertices, triangles, mat_ids, materials,
-                     normals=normals, uvs=uvs, light=light, envmap=envmap,
-                     textures=atlas)
-    return sc.with_bvh()
+
+    def build():
+        materials = Materials.create(
+            kinds=[r["kind"] for r in mat_rows],
+            kds=[r["kd"] for r in mat_rows],
+            textures=[r["texture_id"] for r in mat_rows],
+        )
+        lt = ParallelogramLight.default(light_power) if light is None else light
+        sc = Scene.build(vertices, triangles, mat_ids, materials,
+                         normals=normals, uvs=uvs, light=lt, envmap=envmap,
+                         textures=atlas)
+        return sc.with_bvh()
+
+    from fovtrace.scene.scene import host_built
+    return host_built(build)
 
 
 def _vertex_normals_for(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
@@ -332,11 +336,6 @@ def reference_assets_scene(resource_dir: str = "/root/reference/resource",
         {"kind": MATL_REFRACTION, "kd": (0.95, 0.95, 0.95),
          "texture_id": -1},                             # 4 box
     ]
-    materials = Materials.create(
-        kinds=[r["kind"] for r in mat_rows],
-        kds=[r["kd"] for r in mat_rows],
-        textures=[r["texture_id"] for r in mat_rows],
-    )
     meshes = [
         procedural._mesh(procedural.plane(10.0, 0.0), 0),
         procedural._mesh(procedural.voxel_world(extent=vokselia_extent,
@@ -349,14 +348,25 @@ def reference_assets_scene(resource_dir: str = "/root/reference/resource",
     ]
     vertices, triangles, mat_ids, normals, uvs = scene_mod.merge_meshes(
         meshes)
-    sc = Scene.build(
-        vertices, triangles, mat_ids, materials,
-        normals=normals, uvs=uvs,
-        light=ParallelogramLight.default(light_power),
-        envmap=envmap,
-        textures=build_texture_atlas(textures),
-    )
-    return sc.with_bvh()
+    atlas = build_texture_atlas(textures)
+
+    def build():
+        materials = Materials.create(
+            kinds=[r["kind"] for r in mat_rows],
+            kds=[r["kd"] for r in mat_rows],
+            textures=[r["texture_id"] for r in mat_rows],
+        )
+        sc = Scene.build(
+            vertices, triangles, mat_ids, materials,
+            normals=normals, uvs=uvs,
+            light=ParallelogramLight.default(light_power),
+            envmap=envmap,
+            textures=atlas,
+        )
+        return sc.with_bvh()
+
+    from fovtrace.scene.scene import host_built
+    return host_built(build)
 
 
 def reference_models(asset_dir: str) -> List[ModelSpec]:

@@ -215,16 +215,22 @@ def _default_materials():
 
 def _assemble(meshes, light_power=810.0, envmap=None):
     vertices, triangles, mat_ids, normals, uvs = merge_meshes(meshes)
-    scene = Scene.build(
-        vertices, triangles, mat_ids,
-        materials=_default_materials(),
-        normals=normals, uvs=uvs,
-        light=ParallelogramLight.default(light_power),
-        envmap=envmap if envmap is not None else checker_envmap(),
-    )
-    # acceleration structures: BVH (leaf-orders the triangles) + the
-    # Pallas cluster pack derived from that order
-    return scene.with_bvh()
+
+    def build():
+        scene = Scene.build(
+            vertices, triangles, mat_ids,
+            materials=_default_materials(),
+            normals=normals, uvs=uvs,
+            light=ParallelogramLight.default(light_power),
+            envmap=envmap if envmap is not None else checker_envmap(),
+        )
+        # acceleration structures: BVH (leaf-orders the triangles) + the
+        # Pallas cluster pack derived from that order
+        return scene.with_bvh()
+
+    # CPU-side build + one batched upload (see scene.host_built)
+    from fovtrace.scene.scene import host_built
+    return host_built(build)
 
 
 def _mesh(parts, mat_id, transform=None):

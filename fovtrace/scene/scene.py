@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -30,6 +31,31 @@ from flax import struct
 MATL_DIFFUSE = 0
 MATL_REFLECTION = 1
 MATL_REFRACTION = 2
+
+
+def host_built(build_fn):
+    """Run a scene-construction thunk with eager ops on the LOCAL CPU
+    backend, then push the finished pytree to the default backend in one
+    batched host->device transfer.
+
+    Scene construction (BVH build, cluster pack, attribute packing) is
+    hundreds of tiny eager ops plus several device->host readbacks for
+    the native BVH builder. On a remote-tunnel TPU each first
+    device->host copy of a new padded-layout shape costs tens of seconds
+    (measured ~62s for one [T,3] f32 readback), so building on-device
+    takes minutes; building on CPU and uploading once takes <1s. The
+    reference builds its acceleration structures host-side too (OptiX
+    Trbvh CPU build, PathTracer.cpp:641)."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return build_fn()
+    with jax.default_device(cpu):
+        scene = build_fn()
+    target = jax.devices()[0]
+    if target.platform == "cpu":
+        return scene
+    return jax.device_put(scene, target)
 
 
 @struct.dataclass
