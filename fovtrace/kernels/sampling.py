@@ -106,17 +106,26 @@ def masked_sampling(height: int, width: int, gaze_dist, saliency,
     return sample | sal_extra
 
 
-def logpolar_sampling(height: int, width: int, gaze_px, kernel_scale: float = 0.25):
+def logpolar_sampling(height: int, width: int, gaze_px,
+                      kernel_scale: float = 0.25, row_offset=0,
+                      block_h: int | None = None):
     """Log-polar sampling pattern (samplingStep.cu:179-182, commented
     alternative): a pixel is sampled iff it round-trips through the
-    quarter-res log-polar buffer to within ~1.1px."""
+    quarter-res log-polar buffer to within ~1.1px.
+
+    Per-pixel independent, so the sharded path computes its row block
+    directly: `row_offset`/`block_h` select rows [row_offset,
+    row_offset+block_h) of the SAME global pattern (height/width stay
+    the full-frame dims for the log-polar kernel size)."""
     from fovtrace.kernels import logpolar
 
     gy, gx = gaze_px
     kh = int(height * kernel_scale)
     kw = int(width * kernel_scale)
-    py = jnp.arange(height, dtype=jnp.float32)[:, None] * jnp.ones((1, width))
-    px = jnp.arange(width, dtype=jnp.float32)[None, :] * jnp.ones((height, 1))
+    bh = height if block_h is None else block_h
+    py = (jnp.arange(bh, dtype=jnp.float32)[:, None]
+          + jnp.asarray(row_offset, jnp.float32)) * jnp.ones((1, width))
+    px = jnp.arange(width, dtype=jnp.float32)[None, :] * jnp.ones((bh, 1))
     u, v = logpolar.forward_coords(px, py, gx, gy, kw, kh)
     x2, y2 = logpolar.inverse_coords(u, v, gx, gy, kw, kh)
     d = jnp.sqrt((px - x2) ** 2 + (py - y2) ** 2)

@@ -66,6 +66,29 @@ def test_sharded_matches_single_chip(recon):
             rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_logpolar_mask_matches():
+    """Sharded log-polar sampling evaluates the SAME global pattern per
+    row block (VERDICT r03 weak #6)."""
+    config, scene, cam = _setup("none")
+    config = config.replace(sampling_mode="logpolar")
+    mesh = shd.make_mesh(8)
+    gaze = (jnp.asarray(30), jnp.asarray(33))
+
+    state1 = pipeline.FrameState.initial(cam, config)
+    stateN = shd.initial_state_sharded(cam, config, mesh)
+    out1, _ = jax.jit(lambda s, c, g, st: pipeline.render_frame(
+        s, c, g, st, config))(scene, cam, gaze, state1)
+    outN, _ = jax.jit(lambda s, c, g, st: shd.render_sharded(
+        s, c, g, st, config, mesh))(scene, cam, gaze, stateN)
+
+    np.testing.assert_array_equal(np.asarray(out1["mask"]),
+                                  np.asarray(outN["mask"]))
+    assert int(outN["rays_dropped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(out1["shading"]), np.asarray(outN["shading"]),
+        rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_pullpush_matches():
     """Halo-exchange pull-push == single-chip pull-push on the gathered
     sparse buffer."""
