@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from fovtrace.core import mathx
+
 
 def _uncharted2_curve(x):
     A, B, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
@@ -31,7 +33,9 @@ def uncharted2_tonemap(color, exposure_bias: float = 2.0, gamma: float = 2.2):
 def accumulate_to_color(accum):
     """color_to_accumulated: divide RGB by sample-count in alpha (w > 0)."""
     w = accum[..., 3:4]
-    rgb = jnp.where(w > 0.0, accum[..., :3] / jnp.maximum(w, 1e-20), accum[..., :3])
+    rgb = jnp.where(w > 0.0,
+                    accum[..., :3] * mathx.safe_inv_pos(w),
+                    accum[..., :3])
     a = jnp.where(w[..., 0] > 0.0, 1.0, accum[..., 3])
     return jnp.concatenate([rgb, a[..., None]], axis=-1)
 

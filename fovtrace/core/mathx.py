@@ -12,6 +12,19 @@ import jax
 import jax.numpy as jnp
 
 
+def safe_inv_pos(x):
+    """1/x where x > 0, else 0 — NaN-free in the BACKWARD pass too.
+
+    The naive `where(x > 0, 1/maximum(x, eps), 0)` still NaNs under
+    `grad` when x == 0: the untaken branch's derivative -1/eps^2
+    overflows to inf and the where-transpose multiplies it by a zero
+    cotangent (0 * inf = NaN). The double-where trick evaluates the
+    derivative at a SAFE denominator instead."""
+    pos = x > 0.0
+    safe = jnp.where(pos, x, 1.0)
+    return jnp.where(pos, 1.0 / safe, 0.0)
+
+
 def dot(a, b):
     return jnp.sum(a * b, axis=-1, keepdims=True)
 

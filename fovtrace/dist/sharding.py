@@ -45,6 +45,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fovtrace.config import RenderConfig
 from fovtrace.core import color as colorx
+from fovtrace.core import mathx
 from fovtrace.core import reproject, rng, vec
 from fovtrace.core.vec import Vec3
 from fovtrace.dist import halo as halo_mod
@@ -216,7 +217,7 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
     traced = scat(jnp.ones((budget,), jnp.float32))
 
     cnt = history[3]
-    inv = jnp.where(cnt > 0.0, 1.0 / jnp.maximum(cnt, 1e-20), 0.0)
+    inv = mathx.safe_inv_pos(cnt)  # NaN-free backward at cnt == 0
     shading_rgb = Vec3(history[0] * inv, history[1] * inv, history[2] * inv)
     shading_alpha = (cnt > 0.0).astype(jnp.float32)
     shading_rows = jnp.concatenate(

@@ -394,27 +394,49 @@ def onehot_cols(ids: jnp.ndarray, m: int) -> jnp.ndarray:
     )
 
 
+# material tables at or below this many rows use the select-chain path
+_SELECT_CHAIN_MAX_M = 16
+
+
 def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
-    """Fetch several per-material columns with ONE [N,K] row gather from
-    the concatenated table. The TPU gather engine moves a row per index
-    (~3ms at 612k rays for all 21 columns), whereas both one-hot-matmul
-    orientations are pathological for tiny M (measured 95ms for the
-    [K,M]@[M,N] form). Gradients flow into the material table through
-    the gather's scatter-add transpose.
+    """Fetch several per-material columns for each ray (SoA).
+
+    Two regimes (both differentiable w.r.t. the table — selects/gathers
+    scatter-add cotangents back into the entries):
+      - M <= 16 (every shipped scene): a SELECT CHAIN — each of the K
+        output rows is (M-1) `where`s against broadcast scalars, pure
+        full-lane VPU work. Measured 11.7 ms (row gather) -> ~1 ms at
+        612k rays x 21 columns x 4 materials.
+      - larger M: ONE [N,K] row gather from the concatenated table (the
+        gather engine moves a row per index). One-hot matmuls are
+        pathological for tiny M in either orientation (measured 95ms
+        for the [K,M]@[M,N] form).
 
     columns: list of (name, width). width-3 columns return Vec3, width-1
-    return [N].
+    return [N]; other widths return the dense [width, N] row block.
     """
     cols = []
     for name, width in columns:
         col = getattr(materials, name).astype(jnp.float32)
         cols.append(col[:, None] if col.ndim == 1 else col)
     table = jnp.concatenate(cols, axis=1)            # [M, K]
-    # gather rows, then ONE transpose to [K, N] so per-column unpacking
-    # slices dense [N] rows — slicing columns out of the lane-padded
-    # [N, K] result re-reads the 128-lane-padded buffer per column
-    # (measured 2.2x slower at 612k rays)
-    vals = table[safe_mat].T                         # [K, N]
+    m_count, k_count = table.shape
+
+    if m_count <= _SELECT_CHAIN_MAX_M:
+        masks = [safe_mat == m for m in range(1, m_count)]
+        vals = []
+        for k in range(k_count):
+            acc = jnp.broadcast_to(table[0, k], safe_mat.shape)
+            for m in range(1, m_count):
+                acc = jnp.where(masks[m - 1], table[m, k], acc)
+            vals.append(acc)
+    else:
+        # gather rows, then ONE transpose to [K, N] so per-column
+        # unpacking slices dense [N] rows — slicing columns out of the
+        # lane-padded [N, K] result re-reads the 128-lane-padded buffer
+        # per column (measured 2.2x slower at 612k rays)
+        vals = table[safe_mat].T                     # [K, N]
+
     out = []
     off = 0
     for name, width in columns:
@@ -426,7 +448,9 @@ def material_lookup_v(materials, safe_mat: jnp.ndarray, columns) -> list:
             # Generic widths return the dense [width, N] row block —
             # callers unpack rows themselves rather than transposing back
             # to the lane-padded [N, width] layout warned about above.
-            out.append(vals[off:off + width])
+            out.append(jnp.stack(vals[off:off + width])
+                       if isinstance(vals, list)
+                       else vals[off:off + width])
         off += width
     return out
 

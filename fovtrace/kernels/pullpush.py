@@ -22,7 +22,7 @@ from typing import List, Tuple
 
 import jax.numpy as jnp
 
-from fovtrace.core import vec
+from fovtrace.core import mathx, vec
 from fovtrace.core.vec import Vec3
 
 _PUSH_W = [
@@ -39,7 +39,7 @@ def _pull_level_v(rgb: Vec3, a) -> Tuple[Vec3, jnp.ndarray]:
     h, w = a.shape
     q = lambda p: (p * a).reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
     sa = a.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
-    inv = jnp.where(sa > 0.0, 1.0 / jnp.maximum(sa, 1e-20), 0.0)
+    inv = mathx.safe_inv_pos(sa)   # NaN-free backward at sa == 0
     out = Vec3(q(rgb.x) * inv, q(rgb.y) * inv, q(rgb.z) * inv)
     return out, (sa > 0.0).astype(jnp.float32)
 
@@ -69,7 +69,7 @@ def _blur3_v(rgb: Vec3, a) -> Tuple[Vec3, jnp.ndarray]:
             ay = ay + sh(rgb.y) * wgt
             az = az + sh(rgb.z) * wgt
             wacc = wacc + wgt
-    inv = jnp.where(wacc > 0.0, 1.0 / jnp.maximum(wacc, 1e-20), 0.0)
+    inv = mathx.safe_inv_pos(wacc)
     return Vec3(ax * inv, ay * inv, az * inv), (wacc > 0.0).astype(jnp.float32)
 
 

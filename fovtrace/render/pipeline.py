@@ -36,6 +36,7 @@ from flax import struct
 
 from fovtrace.config import RenderConfig
 from fovtrace.core import color as colorx
+from fovtrace.core import mathx
 from fovtrace.core import reproject, rng, vec
 from fovtrace.core.camera import Camera
 from fovtrace.core.vec import Vec3
@@ -197,7 +198,7 @@ def stage_shade(scene, camera, idx, active, fetched, is_valid, state,
     traced_mask = scat(jnp.ones((idx.shape[0],), jnp.float32))
 
     cnt = history[3]
-    inv = jnp.where(cnt > 0.0, 1.0 / jnp.maximum(cnt, 1e-20), 0.0)
+    inv = mathx.safe_inv_pos(cnt)  # NaN-free backward at cnt == 0
     # holes: pixels with neither a traced ray nor reusable history stay 0
     shading_rgb = Vec3(history[0] * inv, history[1] * inv, history[2] * inv)
     shading_alpha = (cnt > 0.0).astype(jnp.float32)

@@ -56,23 +56,24 @@ def envmap_lookup_v(envmap: jnp.ndarray, dirs: Vec3, scale: float = 2.0
     fy = (1.0 - v) * (h - 1)
     x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, w - 1)
     y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     wx = fx - x0
     wy = fy - y0
-    # 4 ROW gathers from the linearized map (12 per-channel 2-D gathers
-    # are ~20x slower on TPU — the gather engine moves a row per index);
-    # transpose each gather once so per-channel slicing reads dense [N]
-    # rows instead of the lane-padded [N,3] buffer
-    flat = envmap.reshape(-1, 3)
-    c00 = flat[y0 * w + x0].T
-    c01 = flat[y0 * w + x1].T
-    c10 = flat[y1 * w + x0].T
-    c11 = flat[y1 * w + x1].T
+    # ONE row gather from a [H*W, 12] QUAD table (all four bilinear
+    # corners per texel, edge-clamped): the gather engine moves a row
+    # per index, so four separate corner gathers cost 4x — measured
+    # 11.4 -> ~3 ms at 612k rays. The quad build is 3 tiny edge-clamped
+    # shifts of the map, CSE'd across all bounces inside one jit, and
+    # keeps the map differentiable.
+    right = jnp.concatenate([envmap[:, 1:], envmap[:, -1:]], axis=1)
+    down = jnp.concatenate([envmap[1:], envmap[-1:]], axis=0)
+    downright = jnp.concatenate([right[1:], right[-1:]], axis=0)
+    quads = jnp.concatenate([envmap, right, down, downright],
+                            axis=-1).reshape(-1, 12)
+    c = quads[y0 * w + x0].T                       # [12, N] dense rows
 
     def bilerp(k):
-        return ((c00[k] * (1 - wx) + c01[k] * wx) * (1 - wy)
-                + (c10[k] * (1 - wx) + c11[k] * wx) * wy)
+        return ((c[k] * (1 - wx) + c[3 + k] * wx) * (1 - wy)
+                + (c[6 + k] * (1 - wx) + c[9 + k] * wx) * wy)
 
     return Vec3(bilerp(0), bilerp(1), bilerp(2)) * scale
 
@@ -301,18 +302,44 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
             aux["t"] = jnp.where(valid0, t0, isect.BIG_T)
 
         # ---- compact the surviving front for the next bounce -----------
+        # OCTANT-MAJOR packing: survivors are grouped by direction sign
+        # octant (stable within a group), so the intersection kernel's
+        # 256-ray bundles get sign-coherent direction intervals — the
+        # cosine-sampled GI directions otherwise make every bundle span
+        # all 8 octants and the slab culling collapses (measured 2.1x on
+        # the bounce traversal; see sampling.compact_mask_keyed).
         if bounce + 1 < config.max_depth:
             width = origin.x.shape[0]
             budget = max(1024, width // 2)
             if budget < width:
-                idx, active = sampling_mod.compact_mask(alive, budget)
-                origin = origin.gather(idx)
-                direction = direction.gather(idx)
-                throughput = throughput.gather(idx)
-                seeds = seeds[idx]
-                gi_depth = gi_depth[idx]
-                pix = jnp.where(active, pix[idx], n)  # n = OOB drop
-                alive = active & alive[idx]
+                idx, active = sampling_mod.compact_mask_keyed(
+                    alive, sampling_mod.direction_octant(direction), 8,
+                    budget)
+                # ONE row gather moves the whole per-ray state: 12
+                # separate 1-D gathers cost ~10 ms EACH at 306k indices
+                # (the gather engine moves a row per index, so a [N,12]
+                # row gather costs the same as one scalar gather —
+                # measured 72 ms -> ~6 ms for the whole compaction).
+                # Non-f32 state rides as f32: seeds bitcast (exact),
+                # gi_depth/pix via exact small-int casts (< 2^24).
+                rows = jnp.stack([
+                    origin.x, origin.y, origin.z,
+                    direction.x, direction.y, direction.z,
+                    throughput.x, throughput.y, throughput.z,
+                    jax.lax.bitcast_convert_type(seeds, jnp.float32),
+                    gi_depth.astype(jnp.float32),
+                    pix.astype(jnp.float32),
+                ], axis=-1)                                   # [N, 12]
+                cols = rows[idx].T          # one gather, one transpose
+                origin = Vec3(cols[0], cols[1], cols[2])
+                direction = Vec3(cols[3], cols[4], cols[5])
+                throughput = Vec3(cols[6], cols[7], cols[8])
+                seeds = jax.lax.bitcast_convert_type(cols[9], jnp.uint32)
+                gi_depth = cols[10].astype(jnp.int32)
+                pix = jnp.where(active, cols[11].astype(jnp.int32), n)
+                # every active slot came from an alive lane (the
+                # compaction mask IS `alive`), so no alive[idx] gather
+                alive = active
 
     aux["rays_traced"] = rays_traced
     return result, aux

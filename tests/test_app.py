@@ -50,6 +50,7 @@ def test_stage_timer_csv(tmp_path):
     assert len(lines) == 4
 
 
+@pytest.mark.slow
 def test_cli_end_to_end(tmp_path):
     from fovtrace.app import cli
 
@@ -72,6 +73,7 @@ def test_cli_end_to_end(tmp_path):
     assert img.max() > 0  # not a black frame
 
 
+@pytest.mark.slow
 def test_cli_view_buffers(tmp_path):
     from fovtrace.app import cli
 

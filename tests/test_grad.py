@@ -104,6 +104,7 @@ def test_full_pipeline_grad(env):
     assert float(jnp.abs(g).sum()) > 0
 
 
+@pytest.mark.slow
 def test_gaze_optimization_step(env):
     """The config-5 demo primitive: optimize camera eye against a target
     image with optax — loss must decrease."""
@@ -181,6 +182,7 @@ def test_gaze_grad_fd(gaze_env):
     _fd_check(f, start, eps=1e-3, rtol=8e-2, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gaze_optimization_recovers_gaze(gaze_env):
     """Optimize gaze_uv to match a target rendered at the true gaze: the
     gaze error must shrink (the expected-reconstruction surrogate is the
@@ -238,6 +240,7 @@ def test_vertex_translation_grad_fd(env):
     _fd_check(f, jnp.zeros(3, jnp.float32), eps=2e-3, rtol=1e-1, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_vertex_recovery_demo(env):
     """Toy inverse-geometry demo: recover a vertical object offset from
     image differences by gradient descent on the translation."""

@@ -188,3 +188,26 @@ class TestSampling:
         mask = jnp.ones((8, 8), bool)
         idx, active = sampling.compact_rays(mask, 64)
         np.testing.assert_array_equal(np.asarray(idx), np.arange(64))
+
+
+def test_compact_mask_keyed_matches_counting_sort():
+    """Octant-major compaction == numpy stable counting sort, incl.
+    tail-bucket overflow drops."""
+    import numpy as np
+    from fovtrace.kernels import sampling
+
+    rng = np.random.default_rng(17)
+    n = 4096
+    mask = rng.uniform(size=n) < 0.4
+    key = rng.integers(0, 8, size=n).astype(np.int32)
+
+    order = np.lexsort((np.arange(n), key))       # stable by (key, pos)
+    want_full = np.asarray([i for i in order if mask[i]])
+
+    for budget in (int(mask.sum()) + 64, 512):    # roomy + starved
+        idx, active = sampling.compact_mask_keyed(
+            jnp.asarray(mask), jnp.asarray(key), 8, budget)
+        idx, active = np.asarray(idx), np.asarray(active)
+        take = min(budget, len(want_full))
+        assert active.sum() == take
+        np.testing.assert_array_equal(idx[:take], want_full[:take])
