@@ -62,7 +62,12 @@ from fovtrace.core.vec import Vec3
 from fovtrace.kernels.intersect import BIG_T, DET_EPS, Hit
 
 CLUSTER = 128      # minimum triangles per cluster (lane width)
-MAX_CLUSTERS = 24  # cap on clusters/scene so the schedule fits SMEM (1MB)
+MAX_CLUSTERS = 256  # cap on clusters/scene: the packed schedule encodes
+#                     the cluster id in 8 bits (cluster_schedule), and
+#                     per-block schedules chunk to fit SMEM. Scenes whose
+#                     pack exceeds the VMEM-resident budget stream their
+#                     cluster coefficients from HBM with double-buffered
+#                     DMA (see _closest_kernel_stream).
 RAY_BLOCK = 256    # rays per schedule bundle (culling granularity)
 GROUP = 8          # ray blocks per pallas program: the output block is
 #                    then (GROUP, RAY_BLOCK) = (8, 256) — the minimal
@@ -117,9 +122,10 @@ def _mt_matmul(parts, cb):
 def pick_cluster(t_pad_min: int) -> int:
     """Cluster width for a scene of ~t triangles: smallest power-of-two
     multiple of CLUSTER keeping the cluster count <= MAX_CLUSTERS (the
-    flat per-block schedule must fit scalar memory). Large scenes get
-    coarser clusters; the supercluster level (cluster_hierarchy) keeps
-    culling effective when this widens."""
+    schedule's packed (tenter, id) encoding holds 8 id bits). 128-wide
+    clusters up to 32k triangles; beyond that clusters coarsen (512-wide
+    at 131k, 1024 at 262k) and the pack streams from HBM once it
+    outgrows VMEM residency."""
     c = CLUSTER
     while (t_pad_min + c - 1) // c > MAX_CLUSTERS:
         c *= 2
@@ -457,6 +463,98 @@ def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
         idx_out[g:g + 1, :] = jnp.transpose(bi_g, (1, 0))
 
 
+# packs larger than this stay in HBM and stream per-cluster through a
+# double-buffered VMEM scratch (the whole-pack-resident BlockSpec would
+# not fit VMEM); small packs load once and stay resident
+_COEF_RESIDENT_BYTES = 4 * 1024 * 1024
+
+
+def _closest_kernel_stream(counts_ref, sched_ref, params_ref, rays_ref,
+                           coef_hbm, t_out, idx_out, *, nc: int, c: int):
+    """Closest-hit with the cluster pack STREAMED from HBM.
+
+    Identical math to _closest_kernel, but coef lives in HBM
+    (memory_space=ANY) and each scheduled cluster's [16, 4c] coefficient
+    block is DMA'd into a 2-slot VMEM scratch: while cluster l computes,
+    cluster l+1's copy is in flight (guide: double-buffering pattern).
+    The front-to-back early break can leave ONE in-flight copy; the
+    epilogue waits it so no semaphore leaks (pending = min(count, l+1)
+    - l at loop exit, always 0 or 1)."""
+    i = pl.program_id(0)
+    r = rays_ref.shape[2]
+    scale = params_ref[0]
+    t_cap = params_ref[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
+
+    def scoped(scratch, sem):
+        for g in range(GROUP):
+            b = i * GROUP + g
+            rays = jnp.transpose(rays_ref[g], (1, 0))    # [R, 16]
+            parts = _ray_parts(rays)
+            tmin = rays[:, 10:11]
+            tmax = rays[:, 11:12]
+            count = counts_ref[b]
+            tmax_blk = jnp.max(tmax)
+
+            def dma(slot, l):
+                jc = sched_ref[b * nc + l] % 256
+                return pltpu.make_async_copy(
+                    coef_hbm.at[jc], scratch.at[slot], sem.at[slot])
+
+            @pl.when(count > 0)
+            def _():
+                dma(0, 0).start()
+
+            def cond(carry):
+                l, bound_key, _, _ = carry
+                tent_key = sched_ref[b * nc + l] // 256
+                return (l < count) & (tent_key <= bound_key)
+
+            def body(carry):
+                l, bound_key, best_t, best_i = carry
+                slot = jax.lax.rem(l, 2)
+
+                @pl.when(l + 1 < count)
+                def _():
+                    dma(1 - slot, l + 1).start()
+
+                dma(slot, l).wait()
+                jc = sched_ref[b * nc + l] % 256
+                res = _mt_matmul(parts, scratch[slot])      # [R, 4c]
+                t, _, _ = _mt_epilogue(res, tmin, tmax, c)
+                bt = jnp.min(t, axis=1, keepdims=True)
+                sel = (t <= bt) & (t < BIG_T)
+                li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
+                better = (li < c) & (bt < best_t)
+                gi = jc * c + jnp.minimum(li, c - 1)
+                best_t = jnp.where(better, bt, best_t)
+                best_i = jnp.where(better, gi, best_i)
+                new_bound = jnp.minimum(jnp.max(best_t), tmax_blk)
+                return (l + 1, _bound_key(new_bound, scale, t_cap),
+                        best_t, best_i)
+
+            lf, _, bt_g, bi_g = jax.lax.while_loop(
+                cond, body,
+                (0, _bound_key(tmax_blk, scale, t_cap),
+                 jnp.full((r, 1), BIG_T, jnp.float32),
+                 jnp.full((r, 1), -1, jnp.int32)))
+
+            # drain the possibly in-flight prefetch (early break / cold
+            # cond-fail both leave exactly one)
+            @pl.when(jnp.minimum(count, lf + 1) - lf > 0)
+            def _():
+                dma(jax.lax.rem(lf, 2), lf).wait()
+
+            t_out[g:g + 1, :] = jnp.transpose(bt_g, (1, 0))
+            idx_out[g:g + 1, :] = jnp.transpose(bi_g, (1, 0))
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((2, 16, 4 * c), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
 # blocks per pallas_call chunk so the prefetched schedule fits SMEM
 # (~1MB): entries*4B <= ~740KB (1080p at RAY_BLOCK=256 -> 180,225
 # entries, verified to compile; two such arrays do not)
@@ -497,6 +595,11 @@ def _closest_call_pre(raysT, coef, sched, counts, params, interpret: bool):
                 counts[b0:b1], params, interpret))
         return [jnp.concatenate([o[k] for o in outs]) for k in range(2)]
 
+    stream = coef.size * 4 > _COEF_RESIDENT_BYTES
+    coef_spec = (
+        pl.BlockSpec(memory_space=pltpu.ANY) if stream
+        else pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
+                          memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ng,),
@@ -504,8 +607,7 @@ def _closest_call_pre(raysT, coef, sched, counts, params, interpret: bool):
             pl.BlockSpec((GROUP, 16, RAY_BLOCK),
                          lambda i, n, s, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            coef_spec,
         ],
         out_specs=[
             pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
@@ -514,8 +616,9 @@ def _closest_call_pre(raysT, coef, sched, counts, params, interpret: bool):
                          memory_space=pltpu.VMEM),
         ],
     )
+    kern = _closest_kernel_stream if stream else _closest_kernel
     return pl.pallas_call(
-        functools.partial(_closest_kernel, nc=nc, c=c),
+        functools.partial(kern, nc=nc, c=c),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32),
@@ -603,6 +706,108 @@ def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
         ab_out[g:g + 1, :] = jnp.transpose(ab_g, (1, 0))
 
 
+def _occlusion_kernel_stream(counts_ref, sched_ref, params_ref, rays_ref,
+                             coef_hbm, aux_hbm, ar_out, ag_out, ab_out, *,
+                             nc: int, c: int):
+    """Occlusion with the cluster pack + aux rows streamed from HBM
+    (see _closest_kernel_stream for the double-buffer/drain pattern;
+    here each cluster moves TWO copies — coef and aux — on paired
+    semaphores)."""
+    i = pl.program_id(0)
+    r = rays_ref.shape[2]
+
+    def scoped(scratch, aux_s, sem, sem_a):
+        for g in range(GROUP):
+            b = i * GROUP + g
+            rays = jnp.transpose(rays_ref[g], (1, 0))
+            parts = _ray_parts(rays)
+            tmin = rays[:, 10:11]
+            tmax = rays[:, 11:12]
+            count = counts_ref[b]
+            tmax_key = _bound_key(jnp.max(tmax), params_ref[0],
+                                  params_ref[1])
+
+            def dmas(slot, l):
+                jc = sched_ref[b * nc + l] % 256
+                return (
+                    pltpu.make_async_copy(coef_hbm.at[jc],
+                                          scratch.at[slot], sem.at[slot]),
+                    pltpu.make_async_copy(aux_hbm.at[jc],
+                                          aux_s.at[slot], sem_a.at[slot]),
+                )
+
+            @pl.when(count > 0)
+            def _():
+                for d in dmas(0, 0):
+                    d.start()
+
+            def cond(carry):
+                l, live, _, _, _ = carry
+                tent_key = sched_ref[b * nc + l] // 256
+                return (l < count) & live & (tent_key <= tmax_key)
+
+            def body(carry):
+                l, live, ar, ag, ab = carry
+                slot = jax.lax.rem(l, 2)
+
+                @pl.when(l + 1 < count)
+                def _():
+                    for d in dmas(1 - slot, l + 1):
+                        d.start()
+
+                for d in dmas(slot, l):
+                    d.wait()
+                res = _mt_matmul(parts, scratch[slot])
+                t, hit, det = _mt_epilogue(res, tmin, tmax, c)
+
+                a = aux_s[slot]                              # [8, c]
+                transp = a[0:1, :]
+                inv_n = a[4:5, :]
+                ndi = jnp.abs(det) * inv_n
+                c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
+                c5 = c1 * c1
+                c5 = c5 * c5 * c1
+                fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5),
+                                         0.0, 1.0)
+                factor = lambda sa: jnp.where(
+                    hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0)
+
+                def lane_prod(x):
+                    width = c
+                    while width > 1:
+                        half = width // 2
+                        x = x[:, :half] * x[:, half:width]
+                        width = half
+                    return x
+
+                ar = ar * lane_prod(factor(a[1:2, :]))
+                ag = ag * lane_prod(factor(a[2:3, :]))
+                ab = ab * lane_prod(factor(a[3:4, :]))
+                live2 = jnp.max(ar + ag + ab) > 0.0
+                return l + 1, live2, ar, ag, ab
+
+            ones = jnp.ones((r, 1), jnp.float32)
+            lf, _, ar_g, ag_g, ab_g = jax.lax.while_loop(
+                cond, body, (0, jnp.bool_(True), ones, ones, ones))
+
+            @pl.when(jnp.minimum(count, lf + 1) - lf > 0)
+            def _():
+                for d in dmas(jax.lax.rem(lf, 2), lf):
+                    d.wait()
+
+            ar_out[g:g + 1, :] = jnp.transpose(ar_g, (1, 0))
+            ag_out[g:g + 1, :] = jnp.transpose(ag_g, (1, 0))
+            ab_out[g:g + 1, :] = jnp.transpose(ab_g, (1, 0))
+
+    pl.run_scoped(
+        scoped,
+        scratch=pltpu.VMEM((2, 16, 4 * c), jnp.float32),
+        aux_s=pltpu.VMEM((2, 8, c), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
+        sem_a=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _occlusion_call(raysT, coef, aux, clusters, interpret: bool):
     sched, counts, params = cluster_schedule(raysT, clusters)
@@ -630,6 +835,16 @@ def _occlusion_call_pre(raysT, coef, aux, sched, counts, params,
                 counts[b0:b1], params, interpret))
         return [jnp.concatenate([o[k] for o in outs]) for k in range(3)]
 
+    stream = coef.size * 4 > _COEF_RESIDENT_BYTES
+    if stream:
+        pack_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
+    else:
+        pack_specs = [
+            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nc, 8, c), lambda i, n, s, p: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(ng,),
@@ -637,18 +852,15 @@ def _occlusion_call_pre(raysT, coef, aux, sched, counts, params,
             pl.BlockSpec((GROUP, 16, RAY_BLOCK),
                          lambda i, n, s, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 8, c), lambda i, n, s, p: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + pack_specs,
         out_specs=[
             pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
     )
+    kern = _occlusion_kernel_stream if stream else _occlusion_kernel
     return pl.pallas_call(
-        functools.partial(_occlusion_kernel, nc=nc, c=c),
+        functools.partial(kern, nc=nc, c=c),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32)] * 3,
         interpret=interpret,

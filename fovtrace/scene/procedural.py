@@ -284,10 +284,25 @@ def vokselia_scene(extent: int = 6):
     ])
 
 
+def city_scene():
+    """Large-scene benchmark (~118k triangles): a dense 64x64-column
+    voxel city plus the earth/box hero objects — the scale class of the
+    reference's flagship composition (vokselia_spawn world + bunny +
+    earth simultaneously, PathTracer.cpp:582-595). Exercises the
+    HBM-streaming intersection path (pack >> VMEM residency)."""
+    return _assemble([
+        _mesh(plane(40.0, 0.0), 0),
+        _mesh(voxel_world(extent=32), 1),
+        _mesh(uv_sphere(0.8, (0.0, 2.2, 0.0), lat=48, lon=96), 2),
+        _mesh(box((0.8, 0.8, 0.8), (-2.0, 0.4, 1.2)), 3),
+    ])
+
+
 SCENES = {
     "box": box_scene,
     "bunny": bunny_scene,
     "earth": earth_scene,
     "multi": multi_object_scene,
     "vokselia": vokselia_scene,
+    "city": city_scene,
 }

@@ -96,3 +96,39 @@ def test_ragged_ray_count():
     hp = pallas_isect.intersect_pallas(scene, _v(ro), _v(rd), 1e-3,
                                        isect.BIG_T)
     np.testing.assert_array_equal(np.asarray(hb.tri), np.asarray(hp.tri))
+
+
+@pytest.mark.parametrize("scene_name", ["earth", "multi"])
+def test_streaming_kernel_matches_resident(scene_name, monkeypatch):
+    """The HBM-streaming double-buffered kernel path (large packs) must
+    produce identical winners/attenuation to the VMEM-resident path —
+    forced here by zeroing the residency budget on a small scene."""
+    scene = procedural.SCENES[scene_name]()
+    cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
+    ro, rd = cam.primary_rays(24, 24)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+
+    hp = pallas_isect.intersect_pallas(scene, _v(ro), _v(rd), 1e-3,
+                                       isect.BIG_T)
+    op = pallas_isect.occlusion_pallas(scene, _v(ro), _v(rd), 1e-3,
+                                       isect.BIG_T)
+    monkeypatch.setattr(pallas_isect, "_COEF_RESIDENT_BYTES", 0)
+    # clear the jit caches that captured the static branch
+    pallas_isect._closest_call_pre.clear_cache()
+    pallas_isect._occlusion_call_pre.clear_cache()
+    try:
+        hs = pallas_isect.intersect_pallas(scene, _v(ro), _v(rd), 1e-3,
+                                           isect.BIG_T)
+        os_ = pallas_isect.occlusion_pallas(scene, _v(ro), _v(rd), 1e-3,
+                                            isect.BIG_T)
+    finally:
+        pallas_isect._closest_call_pre.clear_cache()
+        pallas_isect._occlusion_call_pre.clear_cache()
+
+    np.testing.assert_array_equal(np.asarray(hp.tri), np.asarray(hs.tri))
+    np.testing.assert_allclose(np.asarray(hp.t), np.asarray(hs.t),
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(op, os_):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
