@@ -44,6 +44,15 @@ class RenderConfig:
 
     # --- ray budget (static compaction size as a fraction of W*H) ---
     ray_budget_frac: float = 0.35
+    # Per-bounce wavefront budgets as fractions of the INITIAL wavefront
+    # width (bounce k+1's compacted size; the last entry repeats). The
+    # measured survivor fractions at bench config are ~10% after bounce
+    # 0 (specular pixels only once diffuse_max_depth=1 ends GI) and
+    # ~0.5% after bounce 1, so the old width-halving schedule ran
+    # 79-99.8% dead lanes. Defaults keep >=2x headroom on every shipped
+    # scene; overflow drops the lowest-priority tail (same truncation
+    # class as importance_cutoff). Floor 1024 slots.
+    bounce_budget_fracs: tuple = (0.25, 0.06, 0.02)
     # per-tile budget multiplier for the sharded path: each tile gets
     # sharded_budget_factor x (ray_budget / n_tiles) compaction slots,
     # because the tile containing the fovea needs more than 1/N

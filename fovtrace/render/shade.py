@@ -150,8 +150,10 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
     cutoff) are stream-compacted to a shrinking static budget, so later
     bounces trace dense fronts instead of mostly-dead lanes — the TPU
     analog of the reference's warpSort compaction, applied per bounce.
-    Budgets are halves of the previous width (floor 1024); overflow rays
-    beyond a budget are dropped (they are below-cutoff tails).
+    Budgets are config.bounce_budget_fracs x the initial width (floor
+    1024), sized from measured survivor fractions (~10% after bounce 0,
+    ~0.5% after bounce 1 at bench config); overflow rays beyond a
+    budget are dropped (they are below-cutoff tails).
 
     With config.remat_shade each bounce body is `jax.checkpoint`ed: the
     backward pass re-runs the bounce instead of materializing its
@@ -310,7 +312,11 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
         # the bounce traversal; see sampling.compact_mask_keyed).
         if bounce + 1 < config.max_depth:
             width = origin.x.shape[0]
-            budget = max(1024, width // 2)
+            fracs = config.bounce_budget_fracs
+            frac = fracs[min(bounce, len(fracs) - 1)]
+            budget = int(n * frac)
+            budget = max(1024, (budget + 1023) // 1024 * 1024)
+            budget = min(budget, width)
             if budget < width:
                 idx, active = sampling_mod.compact_mask_keyed(
                     alive, sampling_mod.direction_octant(direction), 8,
