@@ -123,13 +123,21 @@ def stage_compact(mask, config: RenderConfig):
     intersects vs scanline-ordered compaction."""
     h, w = config.height, config.width
     if h % 16 == 0 and w % 16 == 0:
-        from fovtrace.kernels.pallas_isect import tile_swizzle_indices
         from fovtrace.render.gbuffer import swizzle_to_tiles
 
-        perm = jnp.asarray(tile_swizzle_indices(h, w))
         mask_sw = swizzle_to_tiles(mask.reshape(-1), h, w)
         idx_sw, active = sampling.compact_mask(mask_sw, config.ray_budget)
-        return perm[idx_sw], active
+        # tile-major -> scanline pixel id ARITHMETICALLY (10 int ops on
+        # the compacted [budget] array) instead of gathering through a
+        # [H*W] permutation table (~10 ms at 627k indices)
+        tw = w // 16
+        ty = idx_sw // (tw * 256)
+        r1 = idx_sw % (tw * 256)
+        tx = r1 // 256
+        r2 = r1 % 256
+        iy = r2 // 16
+        ix = r2 % 16
+        return (ty * 16 + iy) * w + tx * 16 + ix, active
     return sampling.compact_rays(mask, config.ray_budget)
 
 

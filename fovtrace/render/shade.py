@@ -176,15 +176,14 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
         """One wavefront bounce. Returns (radiance-to-scatter Vec3,
         continuation state). Static `bounce` selects first-hit capture."""
         t_max = jnp.where(alive, isect.BIG_T, -1.0)
-        hit = isect.intersect_v(
+        # fused closest-hit + refine + surface fetch (one row gather)
+        hit, surf = isect.intersect_surface_v(
             scene, origin, direction, config.scene_epsilon, t_max,
             backend=config.intersect_backend,
         )
         missed = alive & ~hit.valid
         env = envmap_lookup_v(scene.envmap, direction, config.envmap_scale)
         add = vec.where(missed, throughput * env, 0.0)
-
-        surf = isect.hit_surface_v(scene, origin, direction, hit)
         point = surf["point"]
         n_sh = vec.faceforward(surf["normal"], -direction, surf["gnormal"])
         kd = surf["kd"]
