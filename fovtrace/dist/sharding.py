@@ -207,14 +207,16 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
         lambda c: colorx.uncharted2_tonemap(c, config.exposure_bias))
 
     n_loc = bh * w
-    deltas = [jnp.where(active, tm.x, 0.0), jnp.where(active, tm.y, 0.0),
-              jnp.where(active, tm.z, 0.0), jnp.where(active, 1.0, 0.0)]
+    # one [B,5] row scatter for rgb+count+traced (see pipeline.stage_shade)
+    act = active.astype(jnp.float32)
+    rows5 = jnp.stack([tm.x * act, tm.y * act, tm.z * act, act, act],
+                      axis=-1)
     safe_idx = jnp.where(active, idx, n_loc)
-    scat = lambda v: (jnp.zeros((n_loc,), jnp.float32)
-                      .at[safe_idx].add(v, mode="drop").reshape(bh, w))
-    delta_planes = jnp.stack([scat(d) for d in deltas], axis=0)
+    acc = (jnp.zeros((n_loc, 5), jnp.float32)
+           .at[safe_idx].add(rows5, mode="drop").T)
+    delta_planes = acc[:4].reshape(4, bh, w)
     history = c_history + delta_planes
-    traced = scat(jnp.ones((budget,), jnp.float32))
+    traced = acc[4].reshape(bh, w)
 
     cnt = history[3]
     inv = mathx.safe_inv_pos(cnt)  # NaN-free backward at cnt == 0

@@ -192,18 +192,20 @@ def stage_shade(scene, camera, idx, active, fetched, is_valid, state,
         lambda c: colorx.uncharted2_tonemap(c, config.exposure_bias))
 
     # temporal accumulate: final = tonemapped + history
-    # (fov_path_trace_camera.cu:167-175); scatter the per-ray delta back
-    # to planes (4 dense scatters)
-    deltas = [jnp.where(active, tm.x, 0.0), jnp.where(active, tm.y, 0.0),
-              jnp.where(active, tm.z, 0.0),
-              jnp.where(active, 1.0, 0.0)]
+    # (fov_path_trace_camera.cu:167-175). ONE [B,5] row scatter moves
+    # rgb+count+traced together — the scatter engine moves a row per
+    # index, so five separate 1-D scatters cost 5x (same asymmetry as
+    # the row-gather rules; see core/reproject.py docstring).
+    act = active.astype(jnp.float32)
+    rows5 = jnp.stack([tm.x * act, tm.y * act, tm.z * act, act, act],
+                      axis=-1)                              # [B, 5]
     safe_idx = jnp.where(active, idx, n_pix)  # OOB drops
-    scat = lambda v: (jnp.zeros((n_pix,), jnp.float32)
-                      .at[safe_idx].add(v, mode="drop").reshape(h, w))
-    delta_planes = jnp.stack([scat(d) for d in deltas], axis=0)
+    acc = (jnp.zeros((n_pix, 5), jnp.float32)
+           .at[safe_idx].add(rows5, mode="drop").T)         # [5, n_pix]
+    delta_planes = acc[:4].reshape(4, h, w)
     history = c_history + delta_planes
 
-    traced_mask = scat(jnp.ones((idx.shape[0],), jnp.float32))
+    traced_mask = acc[4].reshape(h, w)
 
     cnt = history[3]
     inv = mathx.safe_inv_pos(cnt)  # NaN-free backward at cnt == 0
