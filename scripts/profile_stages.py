@@ -134,10 +134,16 @@ def main():
     jax.block_until_ready(jax.tree.leaves(gbuf))
 
     # ---- isolated kernels ----------------------------------------------
+    # rays TILE-SWIZZLED like the pipeline's (scanline order makes the
+    # kernel's 256-ray bundles span whole rows -> ~3x slower, which is
+    # NOT what the pipeline pays)
     if not args.quick:
+        from fovtrace.render.gbuffer import swizzle_to_tiles
+
         rov, rdv = cam.primary_rays_v(w, h)
-        ro_f = rov.map(lambda a: a.reshape(-1))
-        rd_f = rdv.map(lambda a: a.reshape(-1))
+        sw = lambda a: swizzle_to_tiles(a.reshape(-1), h, w)
+        ro_f = rov.map(sw)
+        rd_f = rdv.map(sw)
         jax.block_until_ready((ro_f.x, rd_f.x))
 
         add(f"gb_intersect_{n_pix//10**6}Mray", timeit(
@@ -163,7 +169,8 @@ def main():
         gdist = sampling.gaze_distance(h, w, gaze)
         mask = sampling.masked_sampling(
             h, w, gdist, sal, config.aperture, config.extra_sample_rate)
-        idx, active = sampling.compact_rays(mask, budget)
+        # the pipeline's tile-order compaction (coherent shade bundles)
+        idx, active = pipeline.stage_compact(mask, config)
         return sal, mask, idx, active
 
     add("sampling+compact", timeit(
