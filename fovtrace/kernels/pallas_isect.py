@@ -7,13 +7,20 @@ the problem onto the MXU + VPU instead:
 
   clustering  triangles are sorted into CLUSTERS of 128 (contiguous
               blocks in BVH leaf order -> spatially coherent) with
-              precomputed AABBs; every shape is static.
+              precomputed AABBs; every shape is static. Clusters are
+              grouped into SUPERCLUSTERS of M (a power of two, chosen so
+              there are <= 256 superclusters) — the two-level analog of
+              the reference's Group/GeometryGroup hierarchy
+              (PathTracer.cpp:634-674): scheduling happens at the
+              supercluster level, culling stays exact per cluster via a
+              member bitmask.
   culling     per 256-ray block, an interval-arithmetic bundle-vs-AABB
               test (XLA side) builds a front-to-back schedule of LIVE
-              clusters; the kernel loops over exactly that many clusters
-              (a `while_loop`, not a grid axis — dead pairs cost zero)
-              and breaks early once the conservative cluster entry-t
-              exceeds every ray's running best hit.
+              superclusters; the kernel loops over exactly that many
+              (a `while_loop`, not a grid axis — dead pairs cost zero),
+              skips dead member clusters by bitmask, and breaks early
+              once the conservative supercluster entry-t exceeds every
+              ray's running best hit.
   MXU         Moller-Trumbore is reformulated as determinants linear in
               the 10-dim ray feature f = [o, d, o x d, 1] (Cramer /
               Plucker form):
@@ -34,6 +41,18 @@ kernel each sub-block transposes its [16,R] ray tile ONCE to [R,16] so
 the per-cluster matmul stays in the MXU's canonical orientation — only
 the HBM layout changed vs the flat round-2 kernel. Ray origins /
 directions arrive as SoA `Vec3` ([N] per component) — fovtrace.core.vec.
+
+SCHEDULE PLUMBING (round 5): the per-block schedule lives in HBM and
+each sub-block DMAs its row into an SMEM scratch — round 4 prefetched
+the whole schedule into SMEM, which (a) capped it at ~185k entries and
+forced the ray stream into per-chunk pallas_calls, and (b) capped the
+packed cluster id at 8 bits (MAX 256 clusters -> clusters coarsened to
+1024 triangles at 262k tris and culling collapsed, BENCH_CITY 2.8x
+slower per ray). Entries now pack (15-bit quantized tenter << 16 |
+16-bit supercluster id); a parallel row carries the per-member liveness
+bitmask. The 8 sub-blocks run in ONE lax.fori_loop (round 4 unrolled
+them in Python — 8x the Mosaic code, a measured 4.5x compile-time
+regression at 1080p).
 
 The matmul runs as an error-compensated bf16 SPLIT by default
 (`MATMUL_MODE = "bf16x3"`): x = hi + lo in bf16, res = Chi@hi + Clo@hi +
@@ -61,18 +80,20 @@ from fovtrace.core import vec
 from fovtrace.core.vec import Vec3
 from fovtrace.kernels.intersect import BIG_T, DET_EPS, Hit
 
-CLUSTER = 128      # minimum triangles per cluster (lane width)
-MAX_CLUSTERS = 256  # cap on clusters/scene: the packed schedule encodes
-#                     the cluster id in 8 bits (cluster_schedule), and
-#                     per-block schedules chunk to fit SMEM. Scenes whose
-#                     pack exceeds the VMEM-resident budget stream their
-#                     cluster coefficients from HBM with double-buffered
-#                     DMA (see _closest_kernel_stream).
-RAY_BLOCK = 256    # rays per schedule bundle (culling granularity)
-GROUP = 8          # ray blocks per pallas program: the output block is
-#                    then (GROUP, RAY_BLOCK) = (8, 256) — the minimal
-#                    legal dense VMEM tile (sublane dim must divide 8);
-#                    each program runs GROUP independent while_loops
+CLUSTER = 128       # minimum triangles per cluster (lane width)
+MAX_CLUSTERS = 4096  # cap on clusters/scene: the schedule id field is 16
+#                      bits and the member bitmask 32, so clusters stay
+#                      128-wide up to 512k triangles (beyond that
+#                      pick_cluster coarsens). Packs above the VMEM
+#                      budget stream their coefficients from HBM with
+#                      double-buffered DMA (_closest_kernel_stream).
+MAX_SCHED = 256     # cap on SCHEDULED entries (superclusters) per block:
+#                     bounds the XLA-side O(NSC^2) rank sort
+RAY_BLOCK = 256     # rays per schedule bundle (culling granularity)
+GROUP = 8           # ray blocks per pallas program: the output block is
+#                     then (GROUP, RAY_BLOCK) = (8, 256) — the minimal
+#                     legal dense VMEM tile (sublane dim must divide 8);
+#                     one lax.fori_loop runs the GROUP sub-blocks
 
 # Cramer-matmul precision: "bf16x3" (3-pass compensated split, ~f32
 # accurate, the default), "bf16" (1 pass, fastest, cracks along quad
@@ -121,15 +142,24 @@ def _mt_matmul(parts, cb):
 
 def pick_cluster(t_pad_min: int) -> int:
     """Cluster width for a scene of ~t triangles: smallest power-of-two
-    multiple of CLUSTER keeping the cluster count <= MAX_CLUSTERS (the
-    schedule's packed (tenter, id) encoding holds 8 id bits). 128-wide
-    clusters up to 32k triangles; beyond that clusters coarsen (512-wide
-    at 131k, 1024 at 262k) and the pack streams from HBM once it
-    outgrows VMEM residency."""
+    multiple of CLUSTER keeping the cluster count <= MAX_CLUSTERS.
+    128-wide clusters up to 512k triangles; beyond that clusters coarsen
+    (256-wide at 1M)."""
     c = CLUSTER
     while (t_pad_min + c - 1) // c > MAX_CLUSTERS:
         c *= 2
     return c
+
+
+def pick_members(nc: int) -> int:
+    """Member clusters per supercluster: smallest power of two keeping
+    the scheduled-entry count <= MAX_SCHED. 1 for scenes up to 32k tris
+    (the schedule degenerates to round 4's flat per-cluster form)."""
+    m = 1
+    while (nc + m - 1) // m > MAX_SCHED:
+        m *= 2
+    assert m <= 32, "member bitmask holds 32 bits"
+    return m
 
 
 def _interpret() -> bool:
@@ -145,7 +175,10 @@ def compute_pack(scene):
     wide. The cluster axis LEADS so the kernel selects a cluster with a
     plain dynamic index on a non-tiled dim (free address arithmetic) —
     dynamic slicing along the lane dim is what Mosaic charges for.
-    Padding triangles have all-zero coefficients -> det = 0 -> never hit.
+    NC is padded to a multiple of the supercluster member count M (see
+    pick_members) so supercluster rows are contiguous [M, 16, 4c] HBM
+    slabs. Padding triangles have all-zero coefficients -> det = 0 ->
+    never hit; padding clusters have empty AABBs -> never live.
     aux rows (triangles ride the lane axis, matching the occlusion
     epilogue's [R,c] hit masks): transparent, shadow_att rgb,
     1/|e1 x e2| (for |cos| = |det|/|n| in the occlusion fresnel).
@@ -155,7 +188,9 @@ def compute_pack(scene):
     v0, e1, e2 = scene.v0, scene.e1, scene.e2
     t = v0.shape[0]
     c = pick_cluster(t)
-    pad = (-t) % c
+    m = pick_members((t + c - 1) // c)
+    unit = c * m
+    pad = (-t) % unit
     padv = lambda a: jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
     v0, e1, e2 = padv(v0), padv(e1), padv(e2)
     t_pad = v0.shape[0]
@@ -277,7 +312,7 @@ def block_liveness(raysT: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     unbounded component (no constraint). If max_k(entry lower bound) >
     min_k(exit upper bound), NO ray in the bundle can hit — a valid
     conservative cull. Computed densely in XLA (NB*NC is tiny); the
-    result drives the kernel's per-block live-cluster schedule.
+    result drives the kernel's per-block live-supercluster schedule.
 
     raysT: [NB, 16, RAY_BLOCK] packed transposed blocks.
     """
@@ -316,32 +351,46 @@ def block_liveness(raysT: jnp.ndarray, clusters: jnp.ndarray) -> jnp.ndarray:
     return (tenter <= texit) & nonempty, tenter
 
 
+_KEY_MAX = (1 << 15) - 1
+
+
 def cluster_schedule(raysT: jnp.ndarray, clusters: jnp.ndarray):
-    """(sched [NB*NC+1] i32, counts [NB] i32, params [2] f32).
+    """(schedmask [NB, 2*SW] i32, counts [NB] i32, params [2] f32).
 
-    Per ray block: live clusters sorted FRONT-TO-BACK by conservative
-    entry-t, dead clusters compacted to the tail. `counts[i]` bounds the
-    kernel's inner while_loop, so dead (block, cluster) pairs cost
-    NOTHING.
+    Per ray block: live SUPERCLUSTERS (groups of M clusters, M =
+    pick_members) sorted FRONT-TO-BACK by conservative entry-t, dead
+    ones compacted to the tail. `counts[i]` bounds the kernel's inner
+    while_loop, so dead (block, supercluster) pairs cost NOTHING.
 
-    Each entry packs (tenter, cluster id) into ONE i32 — SMEM is the
-    scarce resource (~1MB) and two separate arrays overflow it at 1080p:
-      enc = (quantized_tenter << 8) | jc
-    so the kernel can BREAK once the next cluster starts beyond every
-    ray's running best hit (front-to-back order makes the first such
-    cluster final). The quantization floors tenter (conservative: never
-    skips a cluster that could hold a closer hit). Requires NC <= 256
-    (MAX_CLUSTERS enforces far less). Returns a third element, params
-    [2] f32 = (key scale, t_cap), prefetched so the kernel can convert
-    its f32 bound into key space. +1 trailing pad: the loop's exit check
-    reads index i*NC+count. 1-D because SMEM pads the last axis of 2-D
-    scalar arrays to 128 lanes.
+    Row layout (SW = NSC+1 rounded up to 128 lanes, the HBM-slice
+    alignment for the kernel's per-block DMA):
+      [0:SW)     enc = (quantized_tenter << 16) | supercluster_id,
+                 sorted ascending — enc is itself the comparison key
+                 (tenter first, id tiebreak, dead keys max), so each
+                 entry's position is its RANK = #smaller keys, an
+                 O(NSC^2) fully-vectorized comparison matrix (XLA's
+                 variadic sort is serial-ish on TPU; NSC <= 256 keeps
+                 NB*NSC^2 trivial VPU work).
+      [SW:2*SW)  per-member liveness bitmask (bit m = cluster
+                 sc*M + m can be hit), permuted identically.
+
+    The kernel BREAKS once the next supercluster starts beyond every
+    ray's running best hit — front-to-back order makes the first such
+    entry final; member tenters are >= their supercluster's, so the
+    supercluster-granularity break stays exact. The 15-bit quantization
+    floors tenter (conservative: never skips a cluster that could hold
+    a closer hit). params [2] f32 = (key scale, t_cap), prefetched so
+    the kernel can convert its f32 bound into key space.
     """
     live, tenter = block_liveness(raysT, clusters)
+    nb = live.shape[0]
     nc = clusters.shape[0]
+    m = pick_members(nc)
+    assert nc % m == 0, "compute_pack pads NC to a multiple of M"
+    nsc = nc // m
 
     # quantized tenter key (Mosaic has no scalar f32<->i32 bitcast):
-    # scale maps [0, t_cap] onto [0, 2^23); floor() makes the stored key
+    # scale maps [0, t_cap] onto [0, 2^15); floor() makes the stored key
     # a LOWER bound of the true tenter, the kernel adds +2 on the bound
     # side to absorb its own f32 rounding — so a break strictly implies
     # tenter > bound.
@@ -352,29 +401,33 @@ def cluster_schedule(raysT: jnp.ndarray, clusters: jnp.ndarray):
     t_cap = 2.0 * jnp.linalg.norm(jnp.maximum(ghi - glo, 0.0)) + 1.0
     scale = (jnp.float32(_KEY_MAX) - 4.0) / t_cap
 
-    # front-to-back permutation WITHOUT a sort: the packed (key<<8 | jc)
-    # encoding is itself the comparison key (tenter first, id tiebreak,
-    # dead clusters key-max so they compact to the tail), so each
-    # entry's position is its RANK = #smaller keys — an O(NC^2)
-    # comparison matrix, fully vectorized. XLA's variadic sort is
-    # serial-ish on TPU and was a measured chunk of the round-2 per-frame
-    # schedule overhead; NC is small (<= MAX_CLUSTERS) so NB*NC^2
-    # compares are trivial VPU work.
-    tkey = jnp.clip(jnp.clip(jnp.where(live, tenter, big),
+    live_g = live.reshape(nb, nsc, m)
+    sc_live = jnp.any(live_g, axis=2)                           # [NB, NSC]
+    sc_t = jnp.min(jnp.where(live_g, tenter.reshape(nb, nsc, m), big),
+                   axis=2)
+    bits = jnp.sum(
+        live_g.astype(jnp.int32)
+        * (1 << jnp.arange(m, dtype=jnp.int32))[None, None, :], axis=2)
+
+    tkey = jnp.clip(jnp.clip(jnp.where(sc_live, sc_t, big),
                              0.0, t_cap) * scale,
                     0.0, float(_KEY_MAX)).astype(jnp.int32)
-    enc = tkey * 256 + jnp.arange(nc, dtype=jnp.int32)[None, :]  # [NB,NC]
+    enc = tkey * 65536 + jnp.arange(nsc, dtype=jnp.int32)[None, :]
     rank = jnp.sum((enc[:, :, None] > enc[:, None, :]).astype(jnp.int32),
-                   axis=2)                                   # [NB, NC]
-    # scatter enc into its rank slot: sorted[b, r] = enc[b, j | rank_j=r]
+                   axis=2)                                      # [NB, NSC]
+    # scatter (enc, bits) into their rank slots
     onehot = (rank[:, :, None]
-              == jnp.arange(nc, dtype=jnp.int32)[None, None, :])
+              == jnp.arange(nsc, dtype=jnp.int32)[None, None, :])
     enc_sorted = jnp.sum(jnp.where(onehot, enc[:, :, None], 0), axis=1)
+    bits_sorted = jnp.sum(jnp.where(onehot, bits[:, :, None], 0), axis=1)
 
-    counts = jnp.sum(live, axis=1).astype(jnp.int32)
-    sched = jnp.concatenate([enc_sorted.reshape(-1),
-                             jnp.full((1,), _KEY_MAX * 256, jnp.int32)])
-    return sched, counts, jnp.stack([scale, t_cap])
+    counts = jnp.sum(sc_live, axis=1).astype(jnp.int32)
+    sw = ((nsc + 1) + 127) // 128 * 128
+    pad_enc = jnp.pad(enc_sorted, ((0, 0), (0, sw - nsc)),
+                      constant_values=_KEY_MAX * 65536)
+    pad_bits = jnp.pad(bits_sorted, ((0, 0), (0, sw - nsc)))
+    schedmask = jnp.concatenate([pad_enc, pad_bits], axis=1)    # [NB, 2*SW]
+    return schedmask, counts, jnp.stack([scale, t_cap])
 
 
 def _mt_epilogue(res, tmin, tmax, c: int):
@@ -399,9 +452,6 @@ def _mt_epilogue(res, tmin, tmax, c: int):
 
 
 # ------------------------------------------------------------ closest hit
-_KEY_MAX = (1 << 23) - 1
-
-
 def _bound_key(bound_f32, scale, t_cap):
     """f32 bound -> quantized i32 key, +2 so rounding in this f32 mul can
     never make the kernel break while the true tenter <= bound. Negative
@@ -412,20 +462,39 @@ def _bound_key(bound_f32, scale, t_cap):
     return q.astype(jnp.int32) + 2
 
 
-def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
-                    t_out, idx_out, *, nc: int, c: int):
+def _closest_update(parts, cb, jc, tmin, tmax, lane, best_t, best_i, c):
+    """One cluster's matmul + closest-hit reduction."""
+    res = _mt_matmul(parts, cb)                     # [R, 4c]
+    t, _, _ = _mt_epilogue(res, tmin, tmax, c)      # [R, c]
+    bt = jnp.min(t, axis=1, keepdims=True)          # [R, 1]
+    sel = (t <= bt) & (t < BIG_T)
+    li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
+    better = (li < c) & (bt < best_t)
+    gi = jc * c + jnp.minimum(li, c - 1)
+    return (jnp.where(better, bt, best_t), jnp.where(better, gi, best_i))
+
+
+def _closest_kernel(counts_ref, params_ref, sched_hbm, rays_ref, coef_ref,
+                    t_out, idx_out, sched_s, ssem, *, sw: int, c: int):
+    """Closest-hit, pack RESIDENT in VMEM (small scenes -> M == 1: the
+    supercluster schedule degenerates to flat per-cluster entries and
+    the member bitmask is never read)."""
     i = pl.program_id(0)
     r = rays_ref.shape[2]
     scale = params_ref[0]
     t_cap = params_ref[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
 
-    for g in range(GROUP):                          # GROUP sub-blocks,
-        b = i * GROUP + g                           # each its own loop
+    cp = pltpu.make_async_copy(sched_hbm.at[pl.dslice(i * GROUP, GROUP)],
+                               sched_s, ssem)
+    cp.start()
+    cp.wait()
+
+    def sub(g, _):
+        b = i * GROUP + g
         # one [16,R] -> [R,16] transpose per sub-block puts the matmul in
         # the MXU's canonical [M,K]x[K,N] orientation (HBM stays dense)
         rays = jnp.transpose(rays_ref[g], (1, 0))   # [R, 16]
-        # hoisted per-block invariants
         parts = _ray_parts(rays)                    # one convert per block
         tmin = rays[:, 10:11]                       # [R, 1]
         tmax = rays[:, 11:12]
@@ -434,23 +503,15 @@ def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
 
         def cond(carry):
             l, bound_key, _, _ = carry
-            # front-to-back: once a cluster starts beyond every ray's
-            # best hit (or every tmax), no later cluster can improve
-            tent_key = sched_ref[b * nc + l] // 256
-            return (l < count) & (tent_key <= bound_key)
+            # front-to-back: once a supercluster starts beyond every
+            # ray's best hit (or every tmax), no later one can improve
+            return (l < count) & (sched_s[g, l] // 65536 <= bound_key)
 
         def body(carry):
             l, bound_key, best_t, best_i = carry
-            jc = sched_ref[b * nc + l] % 256
-            res = _mt_matmul(parts, coef_ref[jc])       # [R, 4c]
-            t, _, _ = _mt_epilogue(res, tmin, tmax, c)  # [R, c]
-            bt = jnp.min(t, axis=1, keepdims=True)      # [R, 1]
-            sel = (t <= bt) & (t < BIG_T)
-            li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
-            better = (li < c) & (bt < best_t)
-            gi = jc * c + jnp.minimum(li, c - 1)
-            best_t = jnp.where(better, bt, best_t)
-            best_i = jnp.where(better, gi, best_i)
+            jc = jax.lax.rem(sched_s[g, l], 65536)
+            best_t, best_i = _closest_update(
+                parts, coef_ref[jc], jc, tmin, tmax, lane, best_t, best_i, c)
             new_bound = jnp.minimum(jnp.max(best_t), tmax_blk)
             return l + 1, _bound_key(new_bound, scale, t_cap), best_t, best_i
 
@@ -459,113 +520,119 @@ def _closest_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
             (0, _bound_key(tmax_blk, scale, t_cap),
              jnp.full((r, 1), BIG_T, jnp.float32),
              jnp.full((r, 1), -1, jnp.int32)))
-        t_out[g:g + 1, :] = jnp.transpose(bt_g, (1, 0))
-        idx_out[g:g + 1, :] = jnp.transpose(bi_g, (1, 0))
+        t_out[pl.dslice(g, 1), :] = jnp.transpose(bt_g, (1, 0))
+        idx_out[pl.dslice(g, 1), :] = jnp.transpose(bi_g, (1, 0))
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, sub, 0)
 
 
-# packs larger than this stay in HBM and stream per-cluster through a
-# double-buffered VMEM scratch (the whole-pack-resident BlockSpec would
+# packs larger than this stay in HBM and stream per-supercluster through
+# a double-buffered VMEM scratch (the whole-pack-resident BlockSpec would
 # not fit VMEM); small packs load once and stay resident
 _COEF_RESIDENT_BYTES = 4 * 1024 * 1024
 
 
-def _closest_kernel_stream(counts_ref, sched_ref, params_ref, rays_ref,
-                           coef_hbm, t_out, idx_out, *, nc: int, c: int):
+def _closest_kernel_stream(counts_ref, params_ref, sched_hbm, rays_ref,
+                           coef_hbm, t_out, idx_out, sched_s, ssem, scratch,
+                           sem, *, sw: int, c: int, m: int):
     """Closest-hit with the cluster pack STREAMED from HBM.
 
     Identical math to _closest_kernel, but coef lives in HBM
-    (memory_space=ANY) and each scheduled cluster's [16, 4c] coefficient
-    block is DMA'd into a 2-slot VMEM scratch: while cluster l computes,
-    cluster l+1's copy is in flight (guide: double-buffering pattern).
-    The front-to-back early break can leave ONE in-flight copy; the
-    epilogue waits it so no semaphore leaks (pending = min(count, l+1)
-    - l at loop exit, always 0 or 1)."""
+    (memory_space=ANY) and each scheduled supercluster's [M, 16, 4c]
+    coefficient slab is DMA'd into a 2-slot VMEM scratch: while
+    supercluster l computes, supercluster l+1's copy is in flight
+    (guide: double-buffering pattern). Dead member clusters are skipped
+    by bitmask (their bytes ride the slab DMA — contiguity beats a
+    per-member stall). The front-to-back early break can leave ONE
+    in-flight copy; the epilogue waits it so no semaphore leaks."""
     i = pl.program_id(0)
     r = rays_ref.shape[2]
     scale = params_ref[0]
     t_cap = params_ref[1]
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, c), 1)
 
-    def scoped(scratch, sem):
-        for g in range(GROUP):
-            b = i * GROUP + g
-            rays = jnp.transpose(rays_ref[g], (1, 0))    # [R, 16]
-            parts = _ray_parts(rays)
-            tmin = rays[:, 10:11]
-            tmax = rays[:, 11:12]
-            count = counts_ref[b]
-            tmax_blk = jnp.max(tmax)
+    cp = pltpu.make_async_copy(sched_hbm.at[pl.dslice(i * GROUP, GROUP)],
+                               sched_s, ssem)
+    cp.start()
+    cp.wait()
 
-            def dma(slot, l):
-                jc = sched_ref[b * nc + l] % 256
-                return pltpu.make_async_copy(
-                    coef_hbm.at[jc], scratch.at[slot], sem.at[slot])
+    def sub(g, _):
+        b = i * GROUP + g
+        rays = jnp.transpose(rays_ref[g], (1, 0))    # [R, 16]
+        parts = _ray_parts(rays)
+        tmin = rays[:, 10:11]
+        tmax = rays[:, 11:12]
+        count = counts_ref[b]
+        tmax_blk = jnp.max(tmax)
 
-            @pl.when(count > 0)
+        def dma(slot, l):
+            sc = jax.lax.rem(sched_s[g, l], 65536)
+            return pltpu.make_async_copy(
+                coef_hbm.at[pl.dslice(sc * m, m)], scratch.at[slot],
+                sem.at[slot])
+
+        @pl.when(count > 0)
+        def _():
+            dma(0, 0).start()
+
+        def cond(carry):
+            l, bound_key, _, _ = carry
+            return (l < count) & (sched_s[g, l] // 65536 <= bound_key)
+
+        def body(carry):
+            l, bound_key, best_t, best_i = carry
+            slot = jax.lax.rem(l, 2)
+
+            @pl.when(l + 1 < count)
             def _():
-                dma(0, 0).start()
+                dma(1 - slot, l + 1).start()
 
-            def cond(carry):
-                l, bound_key, _, _ = carry
-                tent_key = sched_ref[b * nc + l] // 256
-                return (l < count) & (tent_key <= bound_key)
+            dma(slot, l).wait()
+            sc = jax.lax.rem(sched_s[g, l], 65536)
 
-            def body(carry):
-                l, bound_key, best_t, best_i = carry
-                slot = jax.lax.rem(l, 2)
+            if m == 1:
+                best_t, best_i = _closest_update(
+                    parts, scratch[slot, 0], sc, tmin, tmax, lane,
+                    best_t, best_i, c)
+            else:
+                bits = sched_s[g, sw + l]
 
-                @pl.when(l + 1 < count)
-                def _():
-                    dma(1 - slot, l + 1).start()
+                def member(mi, carry_m):
+                    bt, bi = carry_m
+                    return jax.lax.cond(
+                        jax.lax.rem(jax.lax.shift_right_logical(bits, mi),
+                                    2) == 1,
+                        lambda bt, bi: _closest_update(
+                            parts, scratch[slot, mi], sc * m + mi, tmin,
+                            tmax, lane, bt, bi, c),
+                        lambda bt, bi: (bt, bi),
+                        bt, bi)
 
-                dma(slot, l).wait()
-                jc = sched_ref[b * nc + l] % 256
-                res = _mt_matmul(parts, scratch[slot])      # [R, 4c]
-                t, _, _ = _mt_epilogue(res, tmin, tmax, c)
-                bt = jnp.min(t, axis=1, keepdims=True)
-                sel = (t <= bt) & (t < BIG_T)
-                li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
-                better = (li < c) & (bt < best_t)
-                gi = jc * c + jnp.minimum(li, c - 1)
-                best_t = jnp.where(better, bt, best_t)
-                best_i = jnp.where(better, gi, best_i)
-                new_bound = jnp.minimum(jnp.max(best_t), tmax_blk)
-                return (l + 1, _bound_key(new_bound, scale, t_cap),
-                        best_t, best_i)
+                best_t, best_i = jax.lax.fori_loop(
+                    0, m, member, (best_t, best_i))
 
-            lf, _, bt_g, bi_g = jax.lax.while_loop(
-                cond, body,
-                (0, _bound_key(tmax_blk, scale, t_cap),
-                 jnp.full((r, 1), BIG_T, jnp.float32),
-                 jnp.full((r, 1), -1, jnp.int32)))
+            new_bound = jnp.minimum(jnp.max(best_t), tmax_blk)
+            return (l + 1, _bound_key(new_bound, scale, t_cap),
+                    best_t, best_i)
 
-            # drain the possibly in-flight prefetch (early break / cold
-            # cond-fail both leave exactly one)
-            @pl.when(jnp.minimum(count, lf + 1) - lf > 0)
-            def _():
-                dma(jax.lax.rem(lf, 2), lf).wait()
+        lf, _, bt_g, bi_g = jax.lax.while_loop(
+            cond, body,
+            (0, _bound_key(tmax_blk, scale, t_cap),
+             jnp.full((r, 1), BIG_T, jnp.float32),
+             jnp.full((r, 1), -1, jnp.int32)))
 
-            t_out[g:g + 1, :] = jnp.transpose(bt_g, (1, 0))
-            idx_out[g:g + 1, :] = jnp.transpose(bi_g, (1, 0))
+        # drain the possibly in-flight prefetch (early break / cold
+        # cond-fail both leave exactly one)
+        @pl.when(jnp.minimum(count, lf + 1) - lf > 0)
+        def _():
+            dma(jax.lax.rem(lf, 2), lf).wait()
 
-    pl.run_scoped(
-        scoped,
-        scratch=pltpu.VMEM((2, 16, 4 * c), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA((2,)),
-    )
+        t_out[pl.dslice(g, 1), :] = jnp.transpose(bt_g, (1, 0))
+        idx_out[pl.dslice(g, 1), :] = jnp.transpose(bi_g, (1, 0))
+        return 0
 
-
-# blocks per pallas_call chunk so the prefetched schedule fits SMEM
-# (~1MB): entries*4B <= ~740KB (1080p at RAY_BLOCK=256 -> 180,225
-# entries, verified to compile; two such arrays do not)
-_SMEM_SCHED_ENTRIES = 185_000
-
-
-def _block_chunks(nb: int, nc: int):
-    """Split nb ray blocks into chunks whose [chunk*nc] schedule fits
-    SMEM. Returns the chunk size in blocks."""
-    per = max(1, _SMEM_SCHED_ENTRIES // max(nc, 1))
-    return min(nb, per)
+    jax.lax.fori_loop(0, GROUP, sub, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -575,57 +642,57 @@ def _closest_call(raysT, coef, clusters, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _closest_call_pre(raysT, coef, sched, counts, params, interpret: bool):
+def _closest_call_pre(raysT, coef, schedmask, counts, params,
+                      interpret: bool):
     nb = raysT.shape[0]
     nc = coef.shape[0]
     c = coef.shape[2] // 4
+    m = pick_members(nc)
     ng = nb // GROUP
-
-    cb = _block_chunks(nb, nc) // GROUP * GROUP
-    if 0 < cb < nb:
-        # chunk along ray blocks; schedules are per-block so slices are
-        # self-contained (re-pad each chunk's sched with the +1 sentinel)
-        outs = []
-        sent = jnp.full((1,), _KEY_MAX * 256, jnp.int32)
-        for b0 in range(0, nb, cb):
-            b1 = min(b0 + cb, nb)
-            outs.append(_closest_call_pre(
-                raysT[b0:b1], coef,
-                jnp.concatenate([sched[b0 * nc:b1 * nc], sent]),
-                counts[b0:b1], params, interpret))
-        return [jnp.concatenate([o[k] for o in outs]) for k in range(2)]
+    sw = schedmask.shape[1] // 2
 
     stream = coef.size * 4 > _COEF_RESIDENT_BYTES
     coef_spec = (
         pl.BlockSpec(memory_space=pltpu.ANY) if stream
-        else pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
+        else pl.BlockSpec((nc, 16, 4 * c), lambda i, n, p: (0, 0, 0),
                           memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(ng,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # schedmask rows (DMA)
             pl.BlockSpec((GROUP, 16, RAY_BLOCK),
-                         lambda i, n, s, p: (i, 0, 0),
+                         lambda i, n, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             coef_spec,
         ],
         out_specs=[
-            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, p: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, p: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=(
+            [pltpu.SMEM((GROUP, 2 * sw), jnp.int32),
+             pltpu.SemaphoreType.DMA(())]
+            + ([pltpu.VMEM((2, m, 16, 4 * c), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,))] if stream else [])
+        ),
     )
-    kern = _closest_kernel_stream if stream else _closest_kernel
+    if stream:
+        kern = functools.partial(_closest_kernel_stream, sw=sw, c=c, m=m)
+    else:
+        assert m == 1, "resident packs are <= 32k tris -> flat schedule"
+        kern = functools.partial(_closest_kernel, sw=sw, c=c)
     return pl.pallas_call(
-        functools.partial(kern, nc=nc, c=c),
+        kern,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32),
             jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, sched, params, raysT, coef)
+    )(counts, params, schedmask, raysT, coef)
 
 
 def intersect_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Hit:
@@ -642,12 +709,53 @@ def intersect_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Hit:
 
 
 # ---------------------------------------------------------------- occlusion
-def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
-                      aux_ref, ar_out, ag_out, ab_out, *, nc: int, c: int):
+def _occlusion_update(parts, cb, ab, tmin, tmax, atten, c):
+    """One cluster's matmul + transparent-shadow epilogue.
+    ab: [8, c] aux rows; atten: (ar, ag, ab) [R,1] carries."""
+    res = _mt_matmul(parts, cb)
+    t, hit, det = _mt_epilogue(res, tmin, tmax, c)   # [R, c]
+
+    transp = ab[0:1, :]                              # [1, c]
+    inv_n = ab[4:5, :]
+    # |cos(n, d)| = |det| / |n|  (d is unit length)
+    ndi = jnp.abs(det) * inv_n
+    c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
+    c5 = c1 * c1
+    c5 = c5 * c5 * c1
+    # refraction.cu:144-153 transparent-shadow fresnel; opaque -> 0
+    fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5), 0.0, 1.0)
+    factor = lambda sa: jnp.where(
+        hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
+    )
+
+    def lane_prod(x):
+        # exact triangle-axis product via log2(c) pairwise folds
+        # (jnp.prod reductions don't lower natively on Mosaic)
+        width = c
+        while width > 1:
+            half = width // 2
+            x = x[:, :half] * x[:, half:width]
+            width = half
+        return x                                     # [R, 1]
+
+    ar, ag, abl = atten
+    return (ar * lane_prod(factor(ab[1:2, :])),
+            ag * lane_prod(factor(ab[2:3, :])),
+            abl * lane_prod(factor(ab[3:4, :])))
+
+
+def _occlusion_kernel(counts_ref, params_ref, sched_hbm, rays_ref, coef_ref,
+                      aux_ref, ar_out, ag_out, ab_out, sched_s, ssem, *,
+                      sw: int, c: int):
     i = pl.program_id(0)
     r = rays_ref.shape[2]
 
-    for g in range(GROUP):
+    cp = pltpu.make_async_copy(sched_hbm.at[pl.dslice(i * GROUP, GROUP)],
+                               sched_s, ssem)
+    cp.start()
+    cp.wait()
+
+    def sub(g, _):
         b = i * GROUP + g
         rays = jnp.transpose(rays_ref[g], (1, 0))            # [R, 16]
         parts = _ray_parts(rays)
@@ -657,155 +765,122 @@ def _occlusion_kernel(counts_ref, sched_ref, params_ref, rays_ref, coef_ref,
         tmax_key = _bound_key(jnp.max(tmax), params_ref[0], params_ref[1])
 
         def cond(carry):
-            l, live, _, _, _ = carry
-            tent_key = sched_ref[b * nc + l] // 256
-            return (l < count) & live & (tent_key <= tmax_key)
+            l, live, _ = carry
+            return (l < count) & live & (sched_s[g, l] // 65536 <= tmax_key)
 
         def body(carry):
-            l, live, ar, ag, ab = carry
-            jc = sched_ref[b * nc + l] % 256
-            res = _mt_matmul(parts, coef_ref[jc])
-            t, hit, det = _mt_epilogue(res, tmin, tmax, c)   # [R, c]
-
-            a = aux_ref[jc]                                  # [8, c]
-            transp = a[0:1, :]                               # [1, c]
-            inv_n = a[4:5, :]
-            # |cos(n, d)| = |det| / |n|  (d is unit length)
-            ndi = jnp.abs(det) * inv_n
-            c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
-            c5 = c1 * c1
-            c5 = c5 * c5 * c1
-            # refraction.cu:144-153 transparent-shadow fresnel; opaque -> 0
-            fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5), 0.0, 1.0)
-            factor = lambda sa: jnp.where(
-                hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
-            )
-
-            def lane_prod(x):
-                # exact triangle-axis product via log2(c) pairwise folds
-                # (jnp.prod reductions don't lower natively on Mosaic)
-                width = c
-                while width > 1:
-                    half = width // 2
-                    x = x[:, :half] * x[:, half:width]
-                    width = half
-                return x                                     # [R, 1]
-
-            ar = ar * lane_prod(factor(a[1:2, :]))
-            ag = ag * lane_prod(factor(a[2:3, :]))
-            ab = ab * lane_prod(factor(a[3:4, :]))
+            l, live, atten = carry
+            jc = jax.lax.rem(sched_s[g, l], 65536)
+            atten = _occlusion_update(parts, coef_ref[jc], aux_ref[jc],
+                                      tmin, tmax, atten, c)
             # any-hit early-out: stop once every ray is fully occluded
-            live2 = jnp.max(ar + ag + ab) > 0.0
-            return l + 1, live2, ar, ag, ab
+            live2 = jnp.max(atten[0] + atten[1] + atten[2]) > 0.0
+            return l + 1, live2, atten
 
         ones = jnp.ones((r, 1), jnp.float32)
-        _, _, ar_g, ag_g, ab_g = jax.lax.while_loop(
-            cond, body, (0, jnp.bool_(True), ones, ones, ones))
-        ar_out[g:g + 1, :] = jnp.transpose(ar_g, (1, 0))
-        ag_out[g:g + 1, :] = jnp.transpose(ag_g, (1, 0))
-        ab_out[g:g + 1, :] = jnp.transpose(ab_g, (1, 0))
+        _, _, (ar_g, ag_g, ab_g) = jax.lax.while_loop(
+            cond, body, (0, jnp.bool_(True), (ones, ones, ones)))
+        ar_out[pl.dslice(g, 1), :] = jnp.transpose(ar_g, (1, 0))
+        ag_out[pl.dslice(g, 1), :] = jnp.transpose(ag_g, (1, 0))
+        ab_out[pl.dslice(g, 1), :] = jnp.transpose(ab_g, (1, 0))
+        return 0
+
+    jax.lax.fori_loop(0, GROUP, sub, 0)
 
 
-def _occlusion_kernel_stream(counts_ref, sched_ref, params_ref, rays_ref,
-                             coef_hbm, aux_hbm, ar_out, ag_out, ab_out, *,
-                             nc: int, c: int):
-    """Occlusion with the cluster pack + aux rows streamed from HBM
-    (see _closest_kernel_stream for the double-buffer/drain pattern;
-    here each cluster moves TWO copies — coef and aux — on paired
-    semaphores)."""
+def _occlusion_kernel_stream(counts_ref, params_ref, sched_hbm, rays_ref,
+                             coef_hbm, aux_hbm, ar_out, ag_out, ab_out,
+                             sched_s, ssem, scratch, aux_s, sem, sem_a, *,
+                             sw: int, c: int, m: int):
+    """Occlusion with the pack + aux rows streamed from HBM per
+    supercluster (see _closest_kernel_stream for the double-buffer /
+    drain pattern; each entry moves TWO slabs — coef and aux — on
+    paired semaphores)."""
     i = pl.program_id(0)
     r = rays_ref.shape[2]
 
-    def scoped(scratch, aux_s, sem, sem_a):
-        for g in range(GROUP):
-            b = i * GROUP + g
-            rays = jnp.transpose(rays_ref[g], (1, 0))
-            parts = _ray_parts(rays)
-            tmin = rays[:, 10:11]
-            tmax = rays[:, 11:12]
-            count = counts_ref[b]
-            tmax_key = _bound_key(jnp.max(tmax), params_ref[0],
-                                  params_ref[1])
+    cp = pltpu.make_async_copy(sched_hbm.at[pl.dslice(i * GROUP, GROUP)],
+                               sched_s, ssem)
+    cp.start()
+    cp.wait()
 
-            def dmas(slot, l):
-                jc = sched_ref[b * nc + l] % 256
-                return (
-                    pltpu.make_async_copy(coef_hbm.at[jc],
-                                          scratch.at[slot], sem.at[slot]),
-                    pltpu.make_async_copy(aux_hbm.at[jc],
-                                          aux_s.at[slot], sem_a.at[slot]),
-                )
+    def sub(g, _):
+        b = i * GROUP + g
+        rays = jnp.transpose(rays_ref[g], (1, 0))
+        parts = _ray_parts(rays)
+        tmin = rays[:, 10:11]
+        tmax = rays[:, 11:12]
+        count = counts_ref[b]
+        tmax_key = _bound_key(jnp.max(tmax), params_ref[0], params_ref[1])
 
-            @pl.when(count > 0)
+        def dmas(slot, l):
+            sc = jax.lax.rem(sched_s[g, l], 65536)
+            return (
+                pltpu.make_async_copy(coef_hbm.at[pl.dslice(sc * m, m)],
+                                      scratch.at[slot], sem.at[slot]),
+                pltpu.make_async_copy(aux_hbm.at[pl.dslice(sc * m, m)],
+                                      aux_s.at[slot], sem_a.at[slot]),
+            )
+
+        @pl.when(count > 0)
+        def _():
+            for d in dmas(0, 0):
+                d.start()
+
+        def cond(carry):
+            l, live, _ = carry
+            return (l < count) & live & (sched_s[g, l] // 65536 <= tmax_key)
+
+        def body(carry):
+            l, live, atten = carry
+            slot = jax.lax.rem(l, 2)
+
+            @pl.when(l + 1 < count)
             def _():
-                for d in dmas(0, 0):
+                for d in dmas(1 - slot, l + 1):
                     d.start()
 
-            def cond(carry):
-                l, live, _, _, _ = carry
-                tent_key = sched_ref[b * nc + l] // 256
-                return (l < count) & live & (tent_key <= tmax_key)
+            for d in dmas(slot, l):
+                d.wait()
+            sc = jax.lax.rem(sched_s[g, l], 65536)
 
-            def body(carry):
-                l, live, ar, ag, ab = carry
-                slot = jax.lax.rem(l, 2)
+            if m == 1:
+                atten = _occlusion_update(parts, scratch[slot, 0],
+                                          aux_s[slot, 0], tmin, tmax,
+                                          atten, c)
+            else:
+                bits = sched_s[g, sw + l]
 
-                @pl.when(l + 1 < count)
-                def _():
-                    for d in dmas(1 - slot, l + 1):
-                        d.start()
+                def member(mi, atten_m):
+                    return jax.lax.cond(
+                        jax.lax.rem(jax.lax.shift_right_logical(bits, mi),
+                                    2) == 1,
+                        lambda a: _occlusion_update(
+                            parts, scratch[slot, mi], aux_s[slot, mi],
+                            tmin, tmax, a, c),
+                        lambda a: a,
+                        atten_m)
 
-                for d in dmas(slot, l):
-                    d.wait()
-                res = _mt_matmul(parts, scratch[slot])
-                t, hit, det = _mt_epilogue(res, tmin, tmax, c)
+                atten = jax.lax.fori_loop(0, m, member, atten)
 
-                a = aux_s[slot]                              # [8, c]
-                transp = a[0:1, :]
-                inv_n = a[4:5, :]
-                ndi = jnp.abs(det) * inv_n
-                c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
-                c5 = c1 * c1
-                c5 = c5 * c5 * c1
-                fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5),
-                                         0.0, 1.0)
-                factor = lambda sa: jnp.where(
-                    hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0)
+            live2 = jnp.max(atten[0] + atten[1] + atten[2]) > 0.0
+            return l + 1, live2, atten
 
-                def lane_prod(x):
-                    width = c
-                    while width > 1:
-                        half = width // 2
-                        x = x[:, :half] * x[:, half:width]
-                        width = half
-                    return x
+        ones = jnp.ones((r, 1), jnp.float32)
+        lf, _, (ar_g, ag_g, ab_g) = jax.lax.while_loop(
+            cond, body, (0, jnp.bool_(True), (ones, ones, ones)))
 
-                ar = ar * lane_prod(factor(a[1:2, :]))
-                ag = ag * lane_prod(factor(a[2:3, :]))
-                ab = ab * lane_prod(factor(a[3:4, :]))
-                live2 = jnp.max(ar + ag + ab) > 0.0
-                return l + 1, live2, ar, ag, ab
+        @pl.when(jnp.minimum(count, lf + 1) - lf > 0)
+        def _():
+            for d in dmas(jax.lax.rem(lf, 2), lf):
+                d.wait()
 
-            ones = jnp.ones((r, 1), jnp.float32)
-            lf, _, ar_g, ag_g, ab_g = jax.lax.while_loop(
-                cond, body, (0, jnp.bool_(True), ones, ones, ones))
+        ar_out[pl.dslice(g, 1), :] = jnp.transpose(ar_g, (1, 0))
+        ag_out[pl.dslice(g, 1), :] = jnp.transpose(ag_g, (1, 0))
+        ab_out[pl.dslice(g, 1), :] = jnp.transpose(ab_g, (1, 0))
+        return 0
 
-            @pl.when(jnp.minimum(count, lf + 1) - lf > 0)
-            def _():
-                for d in dmas(jax.lax.rem(lf, 2), lf):
-                    d.wait()
-
-            ar_out[g:g + 1, :] = jnp.transpose(ar_g, (1, 0))
-            ag_out[g:g + 1, :] = jnp.transpose(ag_g, (1, 0))
-            ab_out[g:g + 1, :] = jnp.transpose(ab_g, (1, 0))
-
-    pl.run_scoped(
-        scoped,
-        scratch=pltpu.VMEM((2, 16, 4 * c), jnp.float32),
-        aux_s=pltpu.VMEM((2, 8, c), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA((2,)),
-        sem_a=pltpu.SemaphoreType.DMA((2,)),
-    )
+    jax.lax.fori_loop(0, GROUP, sub, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -816,55 +891,58 @@ def _occlusion_call(raysT, coef, aux, clusters, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def _occlusion_call_pre(raysT, coef, aux, sched, counts, params,
+def _occlusion_call_pre(raysT, coef, aux, schedmask, counts, params,
                         interpret: bool):
     nb = raysT.shape[0]
     nc = coef.shape[0]
     c = coef.shape[2] // 4
+    m = pick_members(nc)
     ng = nb // GROUP
-
-    cb = _block_chunks(nb, nc) // GROUP * GROUP
-    if 0 < cb < nb:
-        outs = []
-        sent = jnp.full((1,), _KEY_MAX * 256, jnp.int32)
-        for b0 in range(0, nb, cb):
-            b1 = min(b0 + cb, nb)
-            outs.append(_occlusion_call_pre(
-                raysT[b0:b1], coef, aux,
-                jnp.concatenate([sched[b0 * nc:b1 * nc], sent]),
-                counts[b0:b1], params, interpret))
-        return [jnp.concatenate([o[k] for o in outs]) for k in range(3)]
+    sw = schedmask.shape[1] // 2
 
     stream = coef.size * 4 > _COEF_RESIDENT_BYTES
     if stream:
         pack_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
     else:
         pack_specs = [
-            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, s, p: (0, 0, 0),
+            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 8, c), lambda i, n, s, p: (0, 0, 0),
+            pl.BlockSpec((nc, 8, c), lambda i, n, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(ng,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),     # schedmask rows (DMA)
             pl.BlockSpec((GROUP, 16, RAY_BLOCK),
-                         lambda i, n, s, p: (i, 0, 0),
+                         lambda i, n, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + pack_specs,
         out_specs=[
-            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, s, p: (i, 0),
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, p: (i, 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
+        scratch_shapes=(
+            [pltpu.SMEM((GROUP, 2 * sw), jnp.int32),
+             pltpu.SemaphoreType.DMA(())]
+            + ([pltpu.VMEM((2, m, 16, 4 * c), jnp.float32),
+                pltpu.VMEM((2, m, 8, c), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,))] if stream else [])
+        ),
     )
-    kern = _occlusion_kernel_stream if stream else _occlusion_kernel
+    if stream:
+        kern = functools.partial(_occlusion_kernel_stream, sw=sw, c=c, m=m)
+    else:
+        assert m == 1, "resident packs are <= 32k tris -> flat schedule"
+        kern = functools.partial(_occlusion_kernel, sw=sw, c=c)
     return pl.pallas_call(
-        functools.partial(kern, nc=nc, c=c),
+        kern,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32)] * 3,
         interpret=interpret,
-    )(counts, sched, params, raysT, coef, aux)
+    )(counts, params, schedmask, raysT, coef, aux)
 
 
 def occlusion_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Vec3:

@@ -132,3 +132,40 @@ def test_streaming_kernel_matches_resident(scene_name, monkeypatch):
     for a, b in zip(op, os_):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_supercluster_members_match_flat(monkeypatch):
+    """The two-level schedule (M > 1 member clusters per supercluster,
+    bitmask skipping — the big-scene path) must match the flat M == 1
+    result — forced on a small scene by shrinking MAX_SCHED so
+    pick_members returns M = 8."""
+    scene = procedural.SCENES["multi"]()
+    cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
+    ro, rd = cam.primary_rays(24, 24)
+    ro = ro.reshape(-1, 3)
+    rd = rd.reshape(-1, 3)
+
+    hb = isect.intersect_brute(scene, ro, rd, 1e-3, isect.BIG_T)
+    ob = isect.occlusion_brute(scene, ro, rd, 1e-3, isect.BIG_T)
+
+    monkeypatch.setattr(pallas_isect, "MAX_SCHED", 4)
+    monkeypatch.setattr(pallas_isect, "_COEF_RESIDENT_BYTES", 0)
+    pallas_isect._closest_call_pre.clear_cache()
+    pallas_isect._occlusion_call_pre.clear_cache()
+    try:
+        scene2 = scene.with_pack()       # repack under the new grouping
+        assert pallas_isect.pick_members(scene2.cluster_aabb.shape[0]) > 1
+        hs = pallas_isect.intersect_pallas(scene2, _v(ro), _v(rd), 1e-3,
+                                           isect.BIG_T)
+        os_ = pallas_isect.occlusion_pallas(scene2, _v(ro), _v(rd), 1e-3,
+                                            isect.BIG_T)
+    finally:
+        pallas_isect._closest_call_pre.clear_cache()
+        pallas_isect._occlusion_call_pre.clear_cache()
+
+    tb, ts = np.asarray(hb.tri), np.asarray(hs.tri)
+    assert ((tb >= 0) == (ts >= 0)).all()
+    same = (tb >= 0) & (tb == ts)
+    assert same.sum() >= (tb >= 0).sum() * 0.995
+    np.testing.assert_allclose(np.asarray(ob), np.asarray(vec.to_rows(os_)),
+                               rtol=1e-4, atol=1e-4)
