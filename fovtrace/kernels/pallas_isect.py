@@ -709,24 +709,18 @@ def intersect_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Hit:
 
 
 # ---------------------------------------------------------------- occlusion
-def _occlusion_update(parts, cb, ab, tmin, tmax, atten, c):
-    """One cluster's matmul + transparent-shadow epilogue.
-    ab: [8, c] aux rows; atten: (ar, ag, ab) [R,1] carries."""
+def _occlusion_update(parts, cb, ab, tflag, tmin, tmax, atten, c):
+    """One cluster's matmul + shadow epilogue.
+    ab: [8, c] aux rows; tflag: scalar — 1 iff the cluster holds ANY
+    transparent triangle; atten: (ar, ag, ab) [R,1] carries.
+
+    Clusters without transparent occluders (the overwhelming majority —
+    the flag is per cluster, prefetched) take a 1-reduce binary path:
+    the full fresnel + 3x log2(c) lane-product epilogue was the measured
+    bottleneck of the whole shade stage (NEE occlusion 68 ms of 146 ms
+    at 612k rays — epilogue-, not MXU-, bound)."""
     res = _mt_matmul(parts, cb)
     t, hit, det = _mt_epilogue(res, tmin, tmax, c)   # [R, c]
-
-    transp = ab[0:1, :]                              # [1, c]
-    inv_n = ab[4:5, :]
-    # |cos(n, d)| = |det| / |n|  (d is unit length)
-    ndi = jnp.abs(det) * inv_n
-    c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
-    c5 = c1 * c1
-    c5 = c5 * c5 * c1
-    # refraction.cu:144-153 transparent-shadow fresnel; opaque -> 0
-    fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5), 0.0, 1.0)
-    factor = lambda sa: jnp.where(
-        hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
-    )
 
     def lane_prod(x):
         # exact triangle-axis product via log2(c) pairwise folds
@@ -738,15 +732,37 @@ def _occlusion_update(parts, cb, ab, tmin, tmax, atten, c):
             width = half
         return x                                     # [R, 1]
 
-    ar, ag, abl = atten
-    return (ar * lane_prod(factor(ab[1:2, :])),
-            ag * lane_prod(factor(ab[2:3, :])),
-            abl * lane_prod(factor(ab[3:4, :])))
+    def transp_fn(atten):
+        transp = ab[0:1, :]                          # [1, c]
+        inv_n = ab[4:5, :]
+        # |cos(n, d)| = |det| / |n|  (d is unit length)
+        ndi = jnp.abs(det) * inv_n
+        c1 = jnp.clip(1.0 - ndi, 0.0, 1.0)
+        c5 = c1 * c1
+        c5 = c5 * c5 * c1
+        # refraction.cu:144-153 transparent-shadow fresnel; opaque -> 0
+        fr = lambda sa: jnp.clip(1.0 - ((1.0 - sa) + sa * c5), 0.0, 1.0)
+        factor = lambda sa: jnp.where(
+            hit, jnp.where(transp > 0.0, fr(sa), 0.0), 1.0
+        )
+        ar, ag, abl = atten
+        return (ar * lane_prod(factor(ab[1:2, :])),
+                ag * lane_prod(factor(ab[2:3, :])),
+                abl * lane_prod(factor(ab[3:4, :])))
+
+    def opaque_fn(atten):
+        # all-opaque cluster: any hit kills the ray (diffuse.cu:226-231)
+        keep = 1.0 - jnp.max(hit.astype(jnp.float32), axis=1,
+                             keepdims=True)          # [R, 1]
+        ar, ag, abl = atten
+        return (ar * keep, ag * keep, abl * keep)
+
+    return jax.lax.cond(tflag == 1, transp_fn, opaque_fn, atten)
 
 
-def _occlusion_kernel(counts_ref, params_ref, sched_hbm, rays_ref, coef_ref,
-                      aux_ref, ar_out, ag_out, ab_out, sched_s, ssem, *,
-                      sw: int, c: int):
+def _occlusion_kernel(counts_ref, params_ref, tflag_ref, sched_hbm,
+                      rays_ref, coef_ref, aux_ref, ar_out, ag_out, ab_out,
+                      sched_s, ssem, *, sw: int, c: int):
     i = pl.program_id(0)
     r = rays_ref.shape[2]
 
@@ -772,7 +788,7 @@ def _occlusion_kernel(counts_ref, params_ref, sched_hbm, rays_ref, coef_ref,
             l, live, atten = carry
             jc = jax.lax.rem(sched_s[g, l], 65536)
             atten = _occlusion_update(parts, coef_ref[jc], aux_ref[jc],
-                                      tmin, tmax, atten, c)
+                                      tflag_ref[jc], tmin, tmax, atten, c)
             # any-hit early-out: stop once every ray is fully occluded
             live2 = jnp.max(atten[0] + atten[1] + atten[2]) > 0.0
             return l + 1, live2, atten
@@ -788,10 +804,10 @@ def _occlusion_kernel(counts_ref, params_ref, sched_hbm, rays_ref, coef_ref,
     jax.lax.fori_loop(0, GROUP, sub, 0)
 
 
-def _occlusion_kernel_stream(counts_ref, params_ref, sched_hbm, rays_ref,
-                             coef_hbm, aux_hbm, ar_out, ag_out, ab_out,
-                             sched_s, ssem, scratch, aux_s, sem, sem_a, *,
-                             sw: int, c: int, m: int):
+def _occlusion_kernel_stream(counts_ref, params_ref, tflag_ref, sched_hbm,
+                             rays_ref, coef_hbm, aux_hbm, ar_out, ag_out,
+                             ab_out, sched_s, ssem, scratch, aux_s, sem,
+                             sem_a, *, sw: int, c: int, m: int):
     """Occlusion with the pack + aux rows streamed from HBM per
     supercluster (see _closest_kernel_stream for the double-buffer /
     drain pattern; each entry moves TWO slabs — coef and aux — on
@@ -846,8 +862,8 @@ def _occlusion_kernel_stream(counts_ref, params_ref, sched_hbm, rays_ref,
 
             if m == 1:
                 atten = _occlusion_update(parts, scratch[slot, 0],
-                                          aux_s[slot, 0], tmin, tmax,
-                                          atten, c)
+                                          aux_s[slot, 0], tflag_ref[sc],
+                                          tmin, tmax, atten, c)
             else:
                 bits = sched_s[g, sw + l]
 
@@ -857,7 +873,7 @@ def _occlusion_kernel_stream(counts_ref, params_ref, sched_hbm, rays_ref,
                                     2) == 1,
                         lambda a: _occlusion_update(
                             parts, scratch[slot, mi], aux_s[slot, mi],
-                            tmin, tmax, a, c),
+                            tflag_ref[sc * m + mi], tmin, tmax, a, c),
                         lambda a: a,
                         atten_m)
 
@@ -900,27 +916,31 @@ def _occlusion_call_pre(raysT, coef, aux, schedmask, counts, params,
     ng = nb // GROUP
     sw = schedmask.shape[1] // 2
 
+    # per-cluster "holds any transparent triangle" flag — selects the
+    # cheap binary-visibility epilogue for all-opaque clusters
+    tflags = (jnp.max(aux[:, 0, :], axis=1) > 0.0).astype(jnp.int32)
+
     stream = coef.size * 4 > _COEF_RESIDENT_BYTES
     if stream:
         pack_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
     else:
         pack_specs = [
-            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, p: (0, 0, 0),
+            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, t, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nc, 8, c), lambda i, n, p: (0, 0, 0),
+            pl.BlockSpec((nc, 8, c), lambda i, n, t, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(ng,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),     # schedmask rows (DMA)
             pl.BlockSpec((GROUP, 16, RAY_BLOCK),
-                         lambda i, n, p: (i, 0, 0),
+                         lambda i, n, t, p: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ] + pack_specs,
         out_specs=[
-            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, p: (i, 0),
+            pl.BlockSpec((GROUP, RAY_BLOCK), lambda i, n, t, p: (i, 0),
                          memory_space=pltpu.VMEM)
         ] * 3,
         scratch_shapes=(
@@ -942,7 +962,7 @@ def _occlusion_call_pre(raysT, coef, aux, schedmask, counts, params,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32)] * 3,
         interpret=interpret,
-    )(counts, params, schedmask, raysT, coef, aux)
+    )(counts, params, tflags, schedmask, raysT, coef, aux)
 
 
 def occlusion_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Vec3:

@@ -64,9 +64,12 @@ def main():
 
     eps = config.scene_epsilon
 
+    from fovtrace.core import vec as vecm
+    _fr = vecm.from_rows
+
     # raw kernel (no refine)
     f_raw = jax.jit(lambda o, d: pallas_isect.intersect_pallas(
-        scene, o, d, eps, isect.BIG_T))
+        scene, _fr(o), _fr(d), eps, isect.BIG_T))
     _, hit_raw = timeit(f_raw, origins, dirs, name="pallas closest (raw)")
 
     # refine_hit alone
@@ -121,7 +124,7 @@ def main():
     tmax = jnp.where(hit.tri >= 0, ld - eps, -1.0)
     jax.block_until_ready((o2, ldir, tmax))
     f_occ = jax.jit(lambda o, d, tm: pallas_isect.occlusion_pallas(
-        scene, o, d, eps, tm))
+        scene, _fr(o), _fr(d), eps, tm))
     timeit(f_occ, o2, ldir, tmax, name="occlusion (shadow rays)")
 
     # full shade fwd
