@@ -2,12 +2,21 @@
 
 Counterpart of the reference's JFA pass (`JumpFlooding.cpp:60-140`,
 `cpFS.glsl` seed pass, `jfFS.glsl:12-59` ping-pong step): every pixel
-tracks the normalized uv of its nearest sample ("seed") and that seed's
-color; log2 rounds with 8-neighbor taps at halving step sizes.
+tracks its nearest sample ("seed"); log2 rounds with 8-neighbor taps at
+halving step sizes.
 
-Implemented as shifted-array min-reductions: each round builds 8 shifted
-candidate fields with `jnp.roll` + boundary masks and keeps the closer
-seed — a handful of fused VPU ops per round, no gather needed.
+ROUND-5 LAYOUT: the flood is COORDINATE-ONLY and PLANAR — the carry is
+one packed i32 plane (seed_y << 16 | seed_x, -1 = no seed yet) plus the
+f32 distance plane, so each neighbor tap is ONE roll + ~10 fused VPU ops
+on dense [H, W] planes. Round 4 rolled the full [H, W, 4] color field
+through every tap (4-wide minor axis -> lane padding + 2 rolls per tap):
+40.7 ms vs ~6 ms planar at 1080p. The seed's color is fetched ONCE at
+the end with a single [H*W, 4] row gather.
+
+Distances are measured in the reference's normalized-uv metric
+((dx/W)^2 + (dy/H)^2 — anisotropic for non-square screens, jfFS.glsl),
+with strict-less 'better' and the same 8-neighbor visit order, so seed
+assignment is bit-identical to the round-4 field version.
 """
 
 from __future__ import annotations
@@ -17,15 +26,15 @@ from typing import Tuple
 import jax.numpy as jnp
 
 
-def _shift(img, dy, dx, fill=0.0):
-    out = jnp.roll(img, shift=(dy, dx), axis=(0, 1))
-    h, w = img.shape[0], img.shape[1]
+def _shift_packed(p, dy, dx):
+    """Roll the packed seed plane by (dy, dx); out-of-screen taps
+    become -1 (no seed)."""
+    out = jnp.roll(p, shift=(dy, dx), axis=(0, 1))
+    h, w = p.shape
     ys = jnp.arange(h)[:, None]
     xs = jnp.arange(w)[None, :]
     valid = (ys - dy >= 0) & (ys - dy < h) & (xs - dx >= 0) & (xs - dx < w)
-    if img.ndim == 3:
-        valid = valid[..., None]
-    return jnp.where(valid, out, fill)
+    return jnp.where(valid, out, -1)
 
 
 def max_step(height: int, width: int) -> int:
@@ -36,6 +45,67 @@ def max_step(height: int, width: int) -> int:
     return s
 
 
+def jump_flood_packed(alpha: jnp.ndarray) -> jnp.ndarray:
+    """Planar JFA core: alpha [H,W] (> 0 marks seeds) -> packed [H,W]
+    i32 plane (seed_y << 16 | seed_x of the nearest seed; -1 where no
+    seed was reached — only possible when the frame has no seeds)."""
+    h, w = alpha.shape
+    yy = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+    xx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+    inv_w = jnp.float32(1.0 / w)
+    inv_h = jnp.float32(1.0 / h)
+
+    is_seed = alpha > 0.0
+    packed = jnp.where(is_seed, yy * 65536 + xx, -1)
+    dist = jnp.where(is_seed, 0.0, jnp.float32(jnp.inf))
+
+    step = max_step(h, w)
+    while step >= 1:
+        for dy in (-step, 0, step):
+            for dx in (-step, 0, step):
+                if dy == 0 and dx == 0:
+                    continue
+                np_ = _shift_packed(packed, dy, dx)
+                ny = np_ // 65536
+                nx = np_ - ny * 65536
+                ndx = (nx - xx).astype(jnp.float32) * inv_w
+                ndy = (ny - yy).astype(jnp.float32) * inv_h
+                ndist = jnp.sqrt(ndx * ndx + ndy * ndy)
+                better = (np_ >= 0) & ((packed < 0) | (ndist < dist))
+                packed = jnp.where(better, np_, packed)
+                dist = jnp.where(better, ndist, dist)
+        step //= 2
+    return packed
+
+
+def packed_coord(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed seed plane -> the reference's coordTex layout [H,W,4]
+    (xy = normalized uv of the nearest seed, w = validity)."""
+    h, w = packed.shape
+    valid = packed >= 0
+    safe = jnp.maximum(packed, 0)
+    sy = safe // 65536
+    sx = safe - sy * 65536
+    u = (sx.astype(jnp.float32) + 0.5) / w
+    v = (sy.astype(jnp.float32) + 0.5) / h
+    vf = valid.astype(jnp.float32)
+    return jnp.stack([u * vf, v * vf, jnp.zeros_like(u), vf], axis=-1)
+
+
+def packed_gather_rows(packed: jnp.ndarray, rows: jnp.ndarray,
+                       fallback: jnp.ndarray) -> jnp.ndarray:
+    """Fetch each pixel's nearest-seed row: rows [H*W, C] indexed by the
+    packed seed plane (ONE row gather — the gather engine moves a row
+    per index); `fallback` [H,W,C] fills no-seed pixels."""
+    h, w = packed.shape
+    valid = packed >= 0
+    safe = jnp.maximum(packed, 0)
+    sy = safe // 65536
+    sx = safe - sy * 65536
+    out = rows[(sy * w + sx).reshape(-1)].reshape(h, w, rows.shape[1])
+    return jnp.where(valid[..., None], out, fallback)
+
+
 def jump_flood(sparse_color: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run JFA from a sparse color buffer [H,W,4] (alpha > 0 marks seeds).
 
@@ -43,42 +113,10 @@ def jump_flood(sparse_color: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     normalized uv of the nearest seed and coord.w its validity — the
     same layout as the reference's coordTex/colorTex.
     """
-    h, w = sparse_color.shape[0], sparse_color.shape[1]
-    screen = jnp.asarray([w, h], jnp.float32)
-
-    ys = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
-    xs = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
-    frag_uv = jnp.stack(
-        [jnp.broadcast_to(xs, (h, w)), jnp.broadcast_to(ys, (h, w))], axis=-1
-    )
-
-    alpha = sparse_color[..., 3:4]
-    coord = jnp.concatenate(
-        [frag_uv * (alpha > 0.0), jnp.zeros((h, w, 1)), alpha], axis=-1
-    )
-    color = sparse_color
-
-    step = max_step(h, w)
-    while step >= 1:
-        dist = jnp.where(
-            coord[..., 3] > 0.0,
-            jnp.linalg.norm(coord[..., :2] - frag_uv, axis=-1),
-            jnp.inf,
-        )
-        for dy in (-step, 0, step):
-            for dx in (-step, 0, step):
-                if dy == 0 and dx == 0:
-                    continue
-                nc = _shift(coord, dy, dx)
-                ncol = _shift(color, dy, dx)
-                n_valid = nc[..., 3] >= 1.0
-                ndist = jnp.linalg.norm(nc[..., :2] - frag_uv, axis=-1)
-                better = n_valid & ((coord[..., 3] < 1.0) | (ndist < dist))
-                coord = jnp.where(better[..., None], nc, coord)
-                color = jnp.where(better[..., None], ncol, color)
-                dist = jnp.where(better, ndist, dist)
-        step //= 2
-    return coord, color
+    packed = jump_flood_packed(sparse_color[..., 3])
+    color = packed_gather_rows(packed, sparse_color.reshape(-1, 4),
+                               sparse_color)
+    return packed_coord(packed), color
 
 
 def voronoi_fill(sparse_color: jnp.ndarray) -> jnp.ndarray:

@@ -8,8 +8,11 @@ seed's color.
 
 The reference's per-pixel loop has a data-dependent footprint; for static
 TPU shapes we bound the disc radius (`max_radius` px, config
-`sibson_max_radius`) and scan over the (2R+1)^2 window with dynamic
-slices of a padded image — every offset is one fused VPU pass.
+`sibson_max_radius`) and sweep the (2R+1)^2 window as a lax.scan over
+the ROW offset with the column taps unrolled as static slices of padded
+PLANAR channels (round 5 — the round-4 version dynamic-sliced a packed
+[H,W,4] field per offset; planar static-sliced rows fuse into ~one VPU
+pass per row offset: 34 -> ~8 ms at 1080p).
 """
 
 from __future__ import annotations
@@ -35,31 +38,42 @@ def sibson_interpolate(coord: jnp.ndarray, color: jnp.ndarray,
         dist_to_closest, jnp.float32(r) / jnp.float32(min(h, w))
     )
 
-    padded = jnp.pad(color, ((r, r), (r, r), (0, 0)))
-    pad_valid = jnp.pad(jnp.ones((h, w)), ((r, r), (r, r)))
+    # planar padded channels: r,g,b + in-screen validity
+    pads = [jnp.pad(color[..., k], ((r, r), (r, r))) for k in range(3)]
+    pads.append(jnp.pad(jnp.ones((h, w), jnp.float32), ((r, r), (r, r))))
+    padded = jnp.stack(pads)                        # [4, H+2r, W+2r]
 
-    offsets = jnp.asarray(
-        [(dy, dx) for dy in range(-r, r + 1) for dx in range(-r, r + 1)],
-        jnp.int32,
-    )
-    inv_screen = jnp.asarray([1.0 / w, 1.0 / h], jnp.float32)
+    inv_w2 = jnp.float32(1.0 / (w * w))
+    inv_h2 = jnp.float32(1.0 / (h * h))
+    d2 = dist_to_closest * dist_to_closest
 
-    def body(carry, off):
-        acc, cnt = carry
-        dy, dx = off[0], off[1]
-        win = jax.lax.dynamic_slice(padded, (r + dy, r + dx, 0), (h, w, 3 + 1))
-        val = jax.lax.dynamic_slice(pad_valid, (r + dy, r + dx), (h, w))
-        off_uv = jnp.stack([dx.astype(jnp.float32), dy.astype(jnp.float32)])
-        radius = jnp.linalg.norm(off_uv * inv_screen)
-        inside = (radius <= dist_to_closest) & (val > 0.0)
-        acc = acc + jnp.where(inside[..., None], win[..., :3], 0.0)
-        cnt = cnt + inside.astype(jnp.float32)
-        return (acc, cnt), None
+    def body(carry, dy):
+        acc_r, acc_g, acc_b, cnt = carry
+        # rows [4, H, W+2r] at row offset dy (dynamic on the scan axis)
+        rows = jax.lax.dynamic_slice(padded, (0, r + dy, 0),
+                                     (4, h, w + 2 * r))
+        dyf2 = (dy * dy).astype(jnp.float32) * inv_h2
+        for dx in range(-r, r + 1):
+            # static column slice — fuses; radius test per static offset
+            win = rows[:, :, r + dx:r + dx + w]     # [4, H, W]
+            rad2 = dyf2 + jnp.float32(dx * dx) * inv_w2
+            inside = (rad2 <= d2) & (win[3] > 0.0)
+            insf = inside.astype(jnp.float32)
+            acc_r = acc_r + insf * win[0]
+            acc_g = acc_g + insf * win[1]
+            acc_b = acc_b + insf * win[2]
+            cnt = cnt + insf
+        return (acc_r, acc_g, acc_b, cnt), None
 
-    init = (jnp.zeros((h, w, 3)), jnp.zeros((h, w)))
-    (acc, cnt), _ = jax.lax.scan(body, init, offsets)
+    z = jnp.zeros((h, w), jnp.float32)
+    (acc_r, acc_g, acc_b, cnt), _ = jax.lax.scan(
+        body, (z, z, z, z), jnp.arange(-r, r + 1, dtype=jnp.int32))
 
-    nearest = color[..., :3]
-    rgb = jnp.where(cnt[..., None] > 0.0, acc / jnp.maximum(cnt[..., None], 1.0),
-                    nearest)
+    inv = 1.0 / jnp.maximum(cnt, 1.0)
+    has = cnt > 0.0
+    rgb = jnp.stack([
+        jnp.where(has, acc_r * inv, color[..., 0]),
+        jnp.where(has, acc_g * inv, color[..., 1]),
+        jnp.where(has, acc_b * inv, color[..., 2]),
+    ], axis=-1)
     return jnp.concatenate([rgb, jnp.ones((h, w, 1))], axis=-1)

@@ -290,12 +290,17 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
          traced, first) = body(bounce, origin, direction, throughput,
                                seeds, gi_depth, alive)
         rays_traced = rays_traced + traced
-        # scatter this bounce's radiance back to the original ray slots
-        result = Vec3(
-            result.x.at[pix].add(add.x, mode="drop"),
-            result.y.at[pix].add(add.y, mode="drop"),
-            result.z.at[pix].add(add.z, mode="drop"),
-        )
+        # scatter this bounce's radiance back to the original ray slots;
+        # bounce 0 runs pre-compaction (pix == arange) so the scatter is
+        # a plain elementwise add there
+        if bounce == 0:
+            result = result + add
+        else:
+            result = Vec3(
+                result.x.at[pix].add(add.x, mode="drop"),
+                result.y.at[pix].add(add.y, mode="drop"),
+                result.z.at[pix].add(add.z, mode="drop"),
+            )
         if bounce == 0:
             point, n_sh, t0, valid0 = first
             aux["point"] = vec.where(valid0, point, 0.0)
