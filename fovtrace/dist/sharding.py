@@ -173,7 +173,8 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
 
     # ---- 3. per-tile compaction ------------------------------------------
     budget = tile_budget(config, n_tiles, bh)
-    idx, active = sampling.compact_rays(mask, budget)
+    idx, active, rank, gate = sampling.compact_mask_rank(
+        mask.reshape(-1), budget)
     dropped = jax.lax.psum(jnp.maximum(mask_count - budget, 0), AXIS)
 
     # ---- 4. shading (global pixel ids -> identical seeds/jitter) ---------
@@ -206,14 +207,15 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
     tm = radiance.map(
         lambda c: colorx.uncharted2_tonemap(c, config.exposure_bias))
 
-    n_loc = bh * w
-    # one [B,5] row scatter for rgb+count+traced (see pipeline.stage_shade)
+    # rank row-gather accumulate for rgb+count+traced (see
+    # pipeline.stage_shade — gathers beat the scatter engine 3x here)
     act = active.astype(jnp.float32)
     rows5 = jnp.stack([tm.x * act, tm.y * act, tm.z * act, act, act],
                       axis=-1)
-    safe_idx = jnp.where(active, idx, n_loc)
-    acc = (jnp.zeros((n_loc, 5), jnp.float32)
-           .at[safe_idx].add(rows5, mode="drop").T)
+    acc = sampling.expand_by_rank(
+        rows5, rank.reshape(-1).astype(jnp.float32),
+        gate.reshape(-1).astype(jnp.float32),
+        idx.astype(jnp.float32), active.astype(jnp.float32)).T
     delta_planes = acc[:4].reshape(4, bh, w)
     history = c_history + delta_planes
     traced = acc[4].reshape(bh, w)

@@ -114,30 +114,41 @@ def _split_bf16(x):
 
 
 def _ray_parts(fr):
-    """Per-block hoisted matmul operands for the current MATMUL_MODE.
-    fr: [R, 16]."""
+    """Per-block hoisted matmul operand for the current MATMUL_MODE.
+    fr: [R, 16]. For the default compensated-bf16 mode the three split
+    terms ride ONE K=48 operand [fhi | flo | fhi] so the whole product
+    is a single MXU pass (see _pack_coef)."""
     if MATMUL_MODE == "f32":
         return (fr,)
     if MATMUL_MODE == "bf16":
         return (fr.astype(jnp.bfloat16),)
-    return _split_bf16(fr)
+    fhi, flo = _split_bf16(fr)
+    return (jnp.concatenate([fhi, flo, fhi], axis=1),)     # [R, 48]
+
+
+def _pack_coef(coef):
+    """XLA-side coefficient transform for the kernel's matmul mode.
+
+    bf16x3: [NC, 16, 4c] f32 -> [NC, 48, 4c] bf16 stacked [chi; chi;
+    clo], so  [fhi|flo|fhi] @ [chi;chi;clo] = fhi@chi + flo@chi +
+    fhi@clo  — the error-compensated split as ONE K=48 matmul (f32
+    accumulation on the MXU) instead of three K=16 passes at 12.5%
+    systolic-row utilization."""
+    if MATMUL_MODE == "f32":
+        return coef
+    if MATMUL_MODE == "bf16":
+        return coef.astype(jnp.bfloat16)
+    chi = coef.astype(jnp.bfloat16)
+    clo = (coef - chi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([chi, chi, clo], axis=1)        # [NC, 48, 4c]
 
 
 def _mt_matmul(parts, cb):
-    """rays [R,16] x coef [16,4c] under the selected precision mode;
-    f32 result [R, 4c]."""
+    """rays [R,K] x packed coef [K,4c] -> f32 [R, 4c]."""
     if MATMUL_MODE == "f32":
         return jax.lax.dot_general(
             parts[0], cb, precision=jax.lax.Precision.HIGHEST, **_DN)
-    if MATMUL_MODE == "bf16":
-        return jax.lax.dot_general(parts[0], cb.astype(jnp.bfloat16), **_DN)
-    fhi, flo = parts
-    chi, clo = _split_bf16(cb)
-    return (
-        jax.lax.dot_general(fhi, chi, **_DN)
-        + jax.lax.dot_general(flo, chi, **_DN)
-        + jax.lax.dot_general(fhi, clo, **_DN)
-    )
+    return jax.lax.dot_general(parts[0], cb, **_DN)
 
 
 def pick_cluster(t_pad_min: int) -> int:
@@ -651,10 +662,12 @@ def _closest_call_pre(raysT, coef, schedmask, counts, params,
     ng = nb // GROUP
     sw = schedmask.shape[1] // 2
 
-    stream = coef.size * 4 > _COEF_RESIDENT_BYTES
+    packed = _pack_coef(coef)
+    krows = packed.shape[1]
+    stream = packed.size * packed.dtype.itemsize > _COEF_RESIDENT_BYTES
     coef_spec = (
         pl.BlockSpec(memory_space=pltpu.ANY) if stream
-        else pl.BlockSpec((nc, 16, 4 * c), lambda i, n, p: (0, 0, 0),
+        else pl.BlockSpec((nc, krows, 4 * c), lambda i, n, p: (0, 0, 0),
                           memory_space=pltpu.VMEM))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -675,7 +688,7 @@ def _closest_call_pre(raysT, coef, schedmask, counts, params,
         scratch_shapes=(
             [pltpu.SMEM((GROUP, 2 * sw), jnp.int32),
              pltpu.SemaphoreType.DMA(())]
-            + ([pltpu.VMEM((2, m, 16, 4 * c), jnp.float32),
+            + ([pltpu.VMEM((2, m, krows, 4 * c), packed.dtype),
                 pltpu.SemaphoreType.DMA((2,))] if stream else [])
         ),
     )
@@ -692,7 +705,7 @@ def _closest_call_pre(raysT, coef, schedmask, counts, params,
             jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, params, schedmask, raysT, coef)
+    )(counts, params, schedmask, raysT, packed)
 
 
 def intersect_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Hit:
@@ -920,12 +933,14 @@ def _occlusion_call_pre(raysT, coef, aux, schedmask, counts, params,
     # cheap binary-visibility epilogue for all-opaque clusters
     tflags = (jnp.max(aux[:, 0, :], axis=1) > 0.0).astype(jnp.int32)
 
-    stream = coef.size * 4 > _COEF_RESIDENT_BYTES
+    packed = _pack_coef(coef)
+    krows = packed.shape[1]
+    stream = packed.size * packed.dtype.itemsize > _COEF_RESIDENT_BYTES
     if stream:
         pack_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 2
     else:
         pack_specs = [
-            pl.BlockSpec((nc, 16, 4 * c), lambda i, n, t, p: (0, 0, 0),
+            pl.BlockSpec((nc, krows, 4 * c), lambda i, n, t, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nc, 8, c), lambda i, n, t, p: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -946,7 +961,7 @@ def _occlusion_call_pre(raysT, coef, aux, schedmask, counts, params,
         scratch_shapes=(
             [pltpu.SMEM((GROUP, 2 * sw), jnp.int32),
              pltpu.SemaphoreType.DMA(())]
-            + ([pltpu.VMEM((2, m, 16, 4 * c), jnp.float32),
+            + ([pltpu.VMEM((2, m, krows, 4 * c), packed.dtype),
                 pltpu.VMEM((2, m, 8, c), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,))] if stream else [])
@@ -962,7 +977,7 @@ def _occlusion_call_pre(raysT, coef, aux, schedmask, counts, params,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((nb, RAY_BLOCK), jnp.float32)] * 3,
         interpret=interpret,
-    )(counts, params, tflags, schedmask, raysT, coef, aux)
+    )(counts, params, tflags, schedmask, raysT, packed, aux)
 
 
 def occlusion_pallas(scene, ro: Vec3, rd: Vec3, t_min, t_max) -> Vec3:

@@ -120,13 +120,20 @@ def stage_compact(mask, config: RenderConfig):
     the intersection kernel's bundle frustums stay tight through the
     shade bounces (the warpSort coherence goal, warpSort.cu:67 — ours is
     spatial instead of intra-warp). Measured 8x on the shade-stage
-    intersects vs scanline-ordered compaction."""
+    intersects vs scanline-ordered compaction.
+
+    Returns (idx [budget] scanline pixel ids, active [budget], rank
+    [H*W] i32 compacted slot per pixel, gate [H*W] bool landed-in-
+    budget) — rank/gate are the inverse map that lets the accumulate
+    run as a row gather instead of a scatter (see compact_mask_rank)."""
     h, w = config.height, config.width
     if h % 16 == 0 and w % 16 == 0:
-        from fovtrace.render.gbuffer import swizzle_to_tiles
+        from fovtrace.render.gbuffer import (swizzle_to_tiles,
+                                             unswizzle_from_tiles)
 
         mask_sw = swizzle_to_tiles(mask.reshape(-1), h, w)
-        idx_sw, active = sampling.compact_mask(mask_sw, config.ray_budget)
+        idx_sw, active, rank_sw, gate_sw = sampling.compact_mask_rank(
+            mask_sw, config.ray_budget)
         # tile-major -> scanline pixel id ARITHMETICALLY (10 int ops on
         # the compacted [budget] array) instead of gathering through a
         # [H*W] permutation table (~10 ms at 627k indices)
@@ -137,12 +144,20 @@ def stage_compact(mask, config: RenderConfig):
         r2 = r1 % 256
         iy = r2 // 16
         ix = r2 % 16
-        return (ty * 16 + iy) * w + tx * 16 + ix, active
-    return sampling.compact_rays(mask, config.ray_budget)
+        idx = (ty * 16 + iy) * w + tx * 16 + ix
+        # the per-pixel inverse map back to scanline order (regular
+        # reshape/transpose permutation — cheap)
+        rank = unswizzle_from_tiles(rank_sw, h, w)
+        gate = unswizzle_from_tiles(gate_sw, h, w)
+        return idx, active, rank, gate
+    idx, active, rank, gate = sampling.compact_mask_rank(
+        mask.reshape(-1), config.ray_budget)
+    return idx, active, rank, gate
 
 
 def stage_shade(scene, camera, idx, active, fetched, is_valid, state,
-                config: RenderConfig, gaze_target=None):
+                config: RenderConfig, gaze_target=None, rank=None,
+                gate=None):
     """Stage 4 (reference entry 3 / 'Shading'): foveated path trace of
     the compacted wavefront + temporal accumulate. Returns
     (shading (Vec3 rgb, alpha) planar, history [4,H,W], traced_mask,
@@ -192,16 +207,26 @@ def stage_shade(scene, camera, idx, active, fetched, is_valid, state,
         lambda c: colorx.uncharted2_tonemap(c, config.exposure_bias))
 
     # temporal accumulate: final = tonemapped + history
-    # (fov_path_trace_camera.cu:167-175). ONE [B,5] row scatter moves
-    # rgb+count+traced together — the scatter engine moves a row per
-    # index, so five separate 1-D scatters cost 5x (same asymmetry as
-    # the row-gather rules; see core/reproject.py docstring).
+    # (fov_path_trace_camera.cu:167-175). With the inverse rank map
+    # from stage_compact this is ONE [n_pix]-index row GATHER from the
+    # [B,5] ray rows (delta[p] = rows5[rank[p]] * gate[p]) — the
+    # round-4 [B,5] row scatter serialized per index in the scatter
+    # engine (measured 27 ms vs 8.6 ms for the gather at bench config).
     act = active.astype(jnp.float32)
     rows5 = jnp.stack([tm.x * act, tm.y * act, tm.z * act, act, act],
                       axis=-1)                              # [B, 5]
-    safe_idx = jnp.where(active, idx, n_pix)  # OOB drops
-    acc = (jnp.zeros((n_pix, 5), jnp.float32)
-           .at[safe_idx].add(rows5, mode="drop").T)         # [5, n_pix]
+    if rank is not None:
+        # custom_vjp: the backward is the inverse gather at idx, not a
+        # 2.1M-index scatter-add (saved ~90 ms of the backward pass)
+        acc = sampling.expand_by_rank(
+            rows5, rank.reshape(-1).astype(jnp.float32),
+            gate.reshape(-1).astype(jnp.float32),
+            idx.astype(jnp.float32), active.astype(jnp.float32)).T
+    else:
+        # callers without the inverse map (compat): row scatter
+        safe_idx = jnp.where(active, idx, n_pix)  # OOB drops
+        acc = (jnp.zeros((n_pix, 5), jnp.float32)
+               .at[safe_idx].add(rows5, mode="drop").T)     # [5, n_pix]
     delta_planes = acc[:4].reshape(4, h, w)
     history = c_history + delta_planes
 
@@ -288,12 +313,12 @@ def render_frame(
         scene, gbuf, gaze_px, state, config)
 
     # ---- 3. compaction (entry 2 / warpSort) ---------------------------
-    idx, active = stage_compact(mask, config)
+    idx, active, rank, gate = stage_compact(mask, config)
 
     # ---- 4. foveated shading (entry 3) --------------------------------
     (shading_rgb, shading_alpha), history, traced_mask, shade_rays = \
         stage_shade(scene, camera, idx, active, fetched, is_valid, state,
-                    config, gaze_target=gaze_target)
+                    config, gaze_target=gaze_target, rank=rank, gate=gate)
 
     # ---- 5. reconstruction (GL post chain) ----------------------------
     image_rgb, image_alpha, extras = stage_reconstruct(
@@ -304,6 +329,10 @@ def render_frame(
         "image_alpha": image_alpha,
         "gaze_target": gaze_target,
         "ray_count": ray_count,
+        # mask pixels that did NOT get a compaction slot (budget
+        # truncation) — mirrors the sharded path's counter; bench.py
+        # asserts this is 0 so a dense mask can't silently under-trace
+        "rays_dropped": ray_count - jnp.sum(gate.astype(jnp.int32)),
         # honest device ray work this frame: G-buffer primary + issued
         # shadow rays, plus every closest-hit/shadow ray of the compacted
         # wavefront bounces (bench.py's Mrays/s numerator)

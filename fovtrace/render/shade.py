@@ -322,9 +322,10 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
             budget = max(1024, (budget + 1023) // 1024 * 1024)
             budget = min(budget, width)
             if budget < width:
-                idx, active = sampling_mod.compact_mask_keyed(
-                    alive, sampling_mod.direction_octant(direction), 8,
-                    budget)
+                idx, active, rankc, gatec = \
+                    sampling_mod.compact_mask_keyed_rank(
+                        alive, sampling_mod.direction_octant(direction), 8,
+                        budget)
                 # ONE row gather moves the whole per-ray state: 12
                 # separate 1-D gathers cost ~10 ms EACH at 306k indices
                 # (the gather engine moves a row per index, so a [N,12]
@@ -332,6 +333,8 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
                 # measured 72 ms -> ~6 ms for the whole compaction).
                 # Non-f32 state rides as f32: seeds bitcast (exact),
                 # gi_depth/pix via exact small-int casts (< 2^24).
+                # compact_gather's custom_vjp keeps the BACKWARD a
+                # gather too (AD would scatter-add into [N, 12]).
                 rows = jnp.stack([
                     origin.x, origin.y, origin.z,
                     direction.x, direction.y, direction.z,
@@ -340,7 +343,10 @@ def shade_v(scene, ro: Vec3, rd: Vec3, seeds, config):
                     gi_depth.astype(jnp.float32),
                     pix.astype(jnp.float32),
                 ], axis=-1)                                   # [N, 12]
-                cols = rows[idx].T          # one gather, one transpose
+                cols = sampling_mod.compact_gather(
+                    rows, idx.astype(jnp.float32),
+                    rankc.astype(jnp.float32),
+                    gatec.astype(jnp.float32)).T
                 origin = Vec3(cols[0], cols[1], cols[2])
                 direction = Vec3(cols[3], cols[4], cols[5])
                 throughput = Vec3(cols[6], cols[7], cols[8])

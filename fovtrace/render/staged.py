@@ -38,8 +38,10 @@ def _jitted_stages(config: RenderConfig):
         sc, gbuf, gaze, st, config))
     s_opt = jax.jit(lambda m: pipeline.stage_compact(m, config))
     s_shade = jax.jit(
-        lambda sc, cam, idx, act, fet, val, st, gt: pipeline.stage_shade(
-            sc, cam, idx, act, fet, val, st, config, gaze_target=gt))
+        lambda sc, cam, idx, act, fet, val, st, gt, rk, gt2:
+        pipeline.stage_shade(
+            sc, cam, idx, act, fet, val, st, config, gaze_target=gt,
+            rank=rk, gate=gt2))
 
     s_jfa = jax.jit(lambda sh: jfa.jump_flood(sh))
     s_si = jax.jit(lambda co, col: sibson.sibson_interpolate(
@@ -72,13 +74,13 @@ def render_frame_staged(scene, camera, gaze_px, state,
         box["result"] = (mask, sal)
 
     with timer.stage("Optimize") as box:
-        idx, active = s_opt(mask)
+        idx, active, rank, gate = s_opt(mask)
         box["result"] = idx
 
     with timer.stage("Shading") as box:
         (shading_rgb, shading_alpha), history, traced_mask, shade_rays = \
             s_shade(scene, camera, idx, active, fetched, is_valid, state,
-                    gaze_target)
+                    gaze_target, rank, gate)
         box["result"] = shading_rgb
 
     shading_rows = jnp.concatenate(

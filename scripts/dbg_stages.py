@@ -42,12 +42,13 @@ samp, _ = timeit(f_samp, scene, gbuf, gaze, state2, name='sampling')
 mask, sal, is_valid, fetched, gaze_target, ray_count = samp
 
 f_cmp = jax.jit(lambda m: pipeline.stage_compact(m, config))
-(idx, active), _ = timeit(f_cmp, mask, name='compact')
+(idx, active, rank, gate), _ = timeit(f_cmp, mask, name='compact')
 
-f_shade = jax.jit(lambda s, c, i, a, fe, v, st, gt: pipeline.stage_shade(
-    s, c, i, a, fe, v, st, config, gaze_target=gt))
+f_shade = jax.jit(lambda s, c, i, a, fe, v, st, gt, rk, ga:
+    pipeline.stage_shade(s, c, i, a, fe, v, st, config, gaze_target=gt,
+                         rank=rk, gate=ga))
 sh, _ = timeit(f_shade, scene, cam, idx, active, fetched, is_valid, state2,
-               gaze_target, name='shade_stage(+temporal)')
+               gaze_target, rank, gate, name='shade_stage(+temporal)')
 (sh_rgb, sh_a), hist, traced, rays = sh
 
 f_rec = jax.jit(lambda r, a, gb: pipeline.stage_reconstruct(r, a, gb, config))

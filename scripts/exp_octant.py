@@ -76,7 +76,7 @@ def main():
     gdist = sampling_mod.gaze_distance(h, w, gaze)
     mask = sampling_mod.masked_sampling(h, w, gdist, sal, config.aperture,
                                         config.extra_sample_rate)
-    idx, active = pipeline.stage_compact(mask, config)
+    idx, active, rank, gate = pipeline.stage_compact(mask, config)
 
     py = (idx // w).astype(jnp.float32)
     px = (idx % w).astype(jnp.float32)

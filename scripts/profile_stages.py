@@ -170,7 +170,7 @@ def main():
         mask = sampling.masked_sampling(
             h, w, gdist, sal, config.aperture, config.extra_sample_rate)
         # the pipeline's tile-order compaction (coherent shade bundles)
-        idx, active = pipeline.stage_compact(mask, config)
+        idx, active, rank, gate = pipeline.stage_compact(mask, config)
         return sal, mask, idx, active
 
     add("sampling+compact", timeit(
