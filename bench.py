@@ -89,6 +89,19 @@ def main():
 
     n_pix = config.n_pixels
 
+    # static budget auto-sizing: render one frame; if the mask is denser
+    # than the budget (rays_dropped > 0), recompile with a budget that
+    # covers it (+2% margin) so no masked ray is silently dropped
+    probe = jax.jit(lambda s, c, g, st: pipeline.render_frame(
+        s, c, g, st, config))(scene, cam, gaze, state)[0]
+    need = float(probe["ray_count"]) / n_pix
+    if int(probe["rays_dropped"]) > 0 or need > config.ray_budget_frac:
+        frac = min(1.0, float(jnp.ceil((need + 0.02) * 20)) / 20)
+        print(f"[bench] mask covers {100*need:.1f}% of pixels -> "
+              f"ray_budget_frac {frac}", file=sys.stderr)
+        config = config.replace(ray_budget_frac=frac)
+        state = pipeline.FrameState.initial(cam, config)
+
     fwd = jax.jit(lambda s, c, g, st: pipeline.render_frame(s, c, g, st, config))
 
     def loss_fn(emission, kd, eye, target, st):

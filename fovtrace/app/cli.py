@@ -42,7 +42,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--reconstruction", default="atrous",
                    choices=["jfa", "sibson", "pullpush", "atrous", "all", "none"])
     p.add_argument("--sampling", default="masked",
-                   choices=["masked", "weier", "logpolar", "full"])
+                   choices=["masked", "weier", "author", "logpolar", "full"])
     p.add_argument("--aperture", type=float, default=0.07)
     p.add_argument("--dof", action="store_true",
                    help="thin-lens depth of field with gaze autofocus "

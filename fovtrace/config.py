@@ -30,7 +30,7 @@ class RenderConfig:
     # --- foveation ---
     aperture: float = 0.07          # normalized foveal radius r0
     p_min: float = 0.05             # peripheral floor of the Weier falloff
-    sampling_mode: str = "masked"   # "masked" | "weier" | "logpolar" | "full"
+    sampling_mode: str = "masked"   # "masked" | "weier" | "author" | "logpolar" | "full"
     saliency_block: int = 4         # 4x4 block granularity (samplingStep.cu:186)
     extra_sample_rate: int = 8      # sparse periphery floor 1/8^2 (shared_helper_funcs.h:282)
 

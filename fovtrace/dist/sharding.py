@@ -148,9 +148,12 @@ def _tile_body(scene, camera, gaze_px, state, config: RenderConfig,
 
     if config.sampling_mode == "full":
         mask = jnp.ones((bh, w), bool)
-    elif config.sampling_mode == "weier":
-        rate = sampling.weier_sample_rate(gdist, config.aperture,
-                                          config.p_min)
+    elif config.sampling_mode in ("weier", "author"):
+        if config.sampling_mode == "weier":
+            rate = sampling.weier_sample_rate(gdist, config.aperture,
+                                              config.p_min)
+        else:
+            rate = sampling.author_sample_rate(gdist, config.aperture)
         gidx2d = (jnp.arange(bh)[:, None] + y0) * w + jnp.arange(w)[None, :]
         u01 = rng.rnd(rng.pixel_seed(gidx2d, state.frame))[0]
         mask = u01 < rate

@@ -92,8 +92,14 @@ def stage_sampling(scene, gbuf, gaze_px, state, config: RenderConfig):
 
     if config.sampling_mode == "full":
         mask = jnp.ones((h, w), bool)
-    elif config.sampling_mode == "weier":
-        rate = sampling.weier_sample_rate(gdist, config.aperture, config.p_min)
+    elif config.sampling_mode in ("weier", "author"):
+        # two stochastic falloff models (samplingStep.cu:145-156): the
+        # Weier et al. linear ramp and the author's rational falloff
+        if config.sampling_mode == "weier":
+            rate = sampling.weier_sample_rate(gdist, config.aperture,
+                                              config.p_min)
+        else:
+            rate = sampling.author_sample_rate(gdist, config.aperture)
         u01 = rng.rnd(rng.pixel_seed(jnp.arange(n_pix).reshape(h, w),
                                      state.frame))[0]
         mask = u01 < rate
