@@ -19,11 +19,12 @@ and gathers — pure XLA, fuses into a single elementwise pipeline.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_SOBEL_GX = jnp.asarray(
+_SOBEL_GX = np.asarray(
     [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32
 )
-_SOBEL_GY = jnp.asarray(
+_SOBEL_GY = np.asarray(
     [[-1.0, -2.0, -1.0], [0.0, 0.0, 0.0], [1.0, 2.0, 1.0]], jnp.float32
 )
 

@@ -81,13 +81,18 @@ def _cgather_bwd(res, ct):
 compact_gather.defvjp(_cgather_fwd, _cgather_bwd)
 
 # 4x4 dither masks (shared_helper_funcs.h:242-263). 1 = sample.
-MASK_25 = jnp.asarray(
+# numpy (not jnp): module-level device constants would initialize the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# in multi-controller runs (it must run before any backend init).
+import numpy as _np
+
+MASK_25 = _np.asarray(
     [[1, 1, 0, 0], [1, 1, 0, 0], [1, 1, 1, 1], [1, 1, 1, 1]], bool
 )
-MASK_50 = jnp.asarray(
+MASK_50 = _np.asarray(
     [[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 1, 1], [0, 0, 1, 1]], bool
 )
-MASK_75 = jnp.asarray(
+MASK_75 = _np.asarray(
     [[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]], bool
 )
 
@@ -186,6 +191,12 @@ def logpolar_sampling(height: int, width: int, gaze_px,
           + jnp.asarray(row_offset, jnp.float32)) * jnp.ones((1, width))
     px = jnp.arange(width, dtype=jnp.float32)[None, :] * jnp.ones((bh, 1))
     u, v = logpolar.forward_coords(px, py, gx, gy, kw, kh)
+    # QUANTIZE to the quarter-res buffer's texel grid before inverting —
+    # the pixel must be recoverable from the discrete log-polar BUFFER
+    # (round 5 fix: the analytic round trip is the identity, which made
+    # the mask all-true, i.e. no foveation at all)
+    u = jnp.round(u)
+    v = jnp.round(v)
     x2, y2 = logpolar.inverse_coords(u, v, gx, gy, kw, kh)
     d = jnp.sqrt((px - x2) ** 2 + (py - y2) ** 2)
     return d < jnp.sqrt(jnp.sqrt(2.0) * 1.5)

@@ -50,9 +50,11 @@ def run_sharded(mesh):
     rep = sh.replicated(mesh)
     scene = jax.device_put(scene, rep)
     cam_p = jax.device_put(cam, rep)
-    out, state2 = sh.render_sharded(scene, cam_p, gaze, state, config, mesh)
+    step = jax.jit(lambda sc, c, g, st: sh.render_sharded(
+        sc, c, g, st, config, mesh))
+    out, state2 = step(scene, cam_p, gaze, state)
     # second frame exercises the temporal path (sharded history reuse)
-    out, _ = sh.render_sharded(scene, cam_p, gaze, state2, config, mesh)
+    out, _ = step(scene, cam_p, gaze, state2)
     scalars = {
         "ray_count": int(out["ray_count"]),
         "rays_traced": int(out["rays_traced"]),
@@ -69,6 +71,8 @@ def run_sharded(mesh):
 
 
 def child(pid: int):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + " --xla_force_host_platform_device_count=4")
@@ -77,6 +81,10 @@ def child(pid: int):
     os.environ["FOVTRACE_PROCESS_ID"] = str(pid)
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var — pin the
+    # platform through jax.config BEFORE any backend initialization
+    jax.config.update("jax_platforms", "cpu")
     from fovtrace.dist import launch
 
     multi = launch.init_distributed()
@@ -95,6 +103,7 @@ def single_reference():
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8")
     code = ("import json, jax, sys; sys.path.insert(0, %r); "
+            "jax.config.update('jax_platforms', 'cpu'); "
             "from scripts.multiprocess_smoke import run_sharded; "
             "from fovtrace.dist import launch; "
             "print(json.dumps(run_sharded(launch.global_mesh())))"

@@ -82,6 +82,13 @@ def main():
     ap.add_argument("--aperture", type=float, default=0.07)
     ap.add_argument("--quick", action="store_true",
                     help="masked x {pullpush, atrous} only")
+    ap.add_argument("--gaze", default="fixed",
+                    help="fixed (default) isolates SPATIAL foveation "
+                         "error: per-pixel RNG seeds match GT's, so any "
+                         "sampled pixel accumulates identical samples and "
+                         "the fovea is ~bit-exact. A moving gaze (circle) "
+                         "adds per-pixel sample-COUNT differences — pure "
+                         "Monte-Carlo noise deltas unrelated to foveation.")
     args = ap.parse_args()
 
     from fovtrace import Camera, RenderConfig
@@ -93,7 +100,7 @@ def main():
     h, w = args.height, args.width
     scene = procedural.SCENES[args.scene]()
     cam = Camera.create(eye=(3.0, 2.5, 4.0), target=(0.0, 0.8, 0.0))
-    gazes, _poses = trajectory.make("circle", h, w, args.frames)
+    gazes, _poses = trajectory.make(args.gaze, h, w, args.frames)
 
     base = dict(width=w, height=h, max_depth=4, diffuse_max_depth=1,
                 aperture=args.aperture, ray_budget_frac=0.55,
@@ -106,6 +113,8 @@ def main():
             out, state = pipeline.render_frame_jit(
                 scene, cam, (jnp.asarray(g[0]), jnp.asarray(g[1])), state,
                 config)
+            assert int(out["rays_dropped"]) == 0, \
+                "budget truncated the mask — raise ray_budget_frac"
             frames.append(np.asarray(vec.to_rows(out["image_rgb"])))
             rayfracs.append(float(out["ray_count"]) / (h * w))
         return frames, rayfracs
@@ -113,7 +122,9 @@ def main():
     t0 = time.time()
     print(f"[quality] GT render (full sampling) {w}x{h} "
           f"x{args.frames} frames", file=sys.stderr, flush=True)
-    gt_frames, _ = run(RenderConfig(**base, sampling_mode="full",
+    # GT shades EVERY pixel: needs the full budget
+    gt_frames, _ = run(RenderConfig(**{**base, "ray_budget_frac": 1.0},
+                                    sampling_mode="full",
                                     reconstruction="none"))
 
     modes = ["masked"] if args.quick else ["masked", "weier", "logpolar"]
@@ -152,7 +163,8 @@ def main():
 
     md = ["# Quality vs ground truth", "",
           f"scene={args.scene} {w}x{h}, {args.frames} frames "
-          f"(circle gaze, {args.warmup} temporal warm-up frames excluded), "
+          f"({args.gaze} gaze, {args.warmup} temporal warm-up frames "
+          "excluded), "
           f"aperture={args.aperture}. Ground truth: sampling_mode=full, "
           "no reconstruction, same temporal accumulation. PSNR in dB on "
           "tonemapped [0,1] frames; annuli centered on the per-frame gaze "
