@@ -87,8 +87,11 @@ MAX_CLUSTERS = 4096  # cap on clusters/scene: the schedule id field is 16
 #                      pick_cluster coarsens). Packs above the VMEM
 #                      budget stream their coefficients from HBM with
 #                      double-buffered DMA (_closest_kernel_stream).
-MAX_SCHED = 256     # cap on SCHEDULED entries (superclusters) per block:
-#                     bounds the XLA-side O(NSC^2) rank sort
+MAX_SCHED = 1024    # cap on SCHEDULED entries (superclusters) per block:
+#                      bounds the XLA-side O(NSC^2) rank sort (~7 G ops
+#                      at 1080p x NSC=666 — a few ms, paid only by big
+#                      scenes and repaid by 4x finer schedule/member
+#                      granularity: city M drops 8 -> 2)
 RAY_BLOCK = 256     # rays per schedule bundle (culling granularity)
 GROUP = 8           # ray blocks per pallas program: the output block is
 #                     then (GROUP, RAY_BLOCK) = (8, 256) — the minimal
