@@ -476,15 +476,42 @@ def _bound_key(bound_f32, scale, t_cap):
     return q.astype(jnp.int32) + 2
 
 
+_BIG_T_KEY = 1900671616  # BIG_T's f32 bit pattern with the lane bits cleared
+
+
 def _closest_update(parts, cb, jc, tmin, tmax, lane, best_t, best_i, c):
-    """One cluster's matmul + closest-hit reduction."""
+    """One cluster's matmul + closest-hit reduction.
+
+    The (min-t, argmin-lane) pair reduces in ONE lane fold: t is
+    strictly positive here (t > tmin >= scene_epsilon), so its f32 bit
+    pattern is order-preserving as i32; the low 7 mantissa bits carry
+    the lane id (key = (t_bits & ~127) | lane). Quantizing t down by
+    <= 127 ulp only makes the running bound smaller — conservative for
+    the front-to-back break — and the winner's exact (t,u,v) is
+    recomputed in f32 by refine_hit anyway."""
     res = _mt_matmul(parts, cb)                     # [R, 4c]
     t, _, _ = _mt_epilogue(res, tmin, tmax, c)      # [R, c]
-    bt = jnp.min(t, axis=1, keepdims=True)          # [R, 1]
-    sel = (t <= bt) & (t < BIG_T)
-    li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
-    better = (li < c) & (bt < best_t)
-    gi = jc * c + jnp.minimum(li, c - 1)
+    if c > 128:
+        # lane id exceeds the 7-bit field (coarsened clusters beyond
+        # 512k tris): two-reduction form
+        bt = jnp.min(t, axis=1, keepdims=True)
+        sel = (t <= bt) & (t < BIG_T)
+        li = jnp.min(jnp.where(sel, lane, c), axis=1, keepdims=True)
+        better = (li < c) & (bt < best_t)
+        gi = jc * c + jnp.minimum(li, c - 1)
+        return (jnp.where(better, bt, best_t),
+                jnp.where(better, gi, best_i))
+    key = jax.lax.bitwise_or(
+        jax.lax.bitwise_and(
+            jax.lax.bitcast_convert_type(t, jnp.int32), ~jnp.int32(127)),
+        lane)
+    kmin = jnp.min(key, axis=1, keepdims=True)      # [R, 1]
+    bt = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_and(kmin, ~jnp.int32(127)), jnp.float32)
+    # all-miss lanes carry BIG_T's (quantized-down) bits — gate on the
+    # key so a full miss can never beat the running best
+    better = (kmin < _BIG_T_KEY) & (bt < best_t)
+    gi = jc * c + jax.lax.bitwise_and(kmin, jnp.int32(127))
     return (jnp.where(better, bt, best_t), jnp.where(better, gi, best_i))
 
 
